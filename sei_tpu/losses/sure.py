@@ -1,0 +1,79 @@
+"""MC-SURE Gaussian loss (parity: ref src/losses/sure.py:7-76).
+
+loss = ||A(f(y)) - y||^2_margin + 2 sigma^2 * div - cst
+div  = mean( b * (A(f(y + tau b)) - A(f(y))) / tau ),  b ~ N(0, I)
+
+``margin`` zeroes the probe outside an inner window and crops the MSE/div to
+ignore circular-blur boundary effects; ``averaged_cst`` toggles whether the
+sigma^2 constant is divided by the batch size.  Pure function over explicit
+keys; the two model evaluations trace into the same jitted graph.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _crop_margin(t: jnp.ndarray, m: int) -> jnp.ndarray:
+    if m == 0:
+        return t
+    return t[..., m:-m, m:-m]
+
+
+def mc_divergence(
+    key: jax.Array,
+    y: jnp.ndarray,
+    y1: jnp.ndarray,
+    model: Callable,
+    A: Callable,
+    *,
+    tau: float,
+    margin: int = 0,
+) -> jnp.ndarray:
+    """Monte-Carlo divergence estimate (ref mc_div, src/losses/sure.py:7-32)."""
+    b = jax.random.normal(key, y.shape, y.dtype)
+    if margin != 0:
+        mask = jnp.zeros_like(y).at[..., margin:-margin, margin:-margin].set(1.0)
+        b = b * mask
+    y2 = A(model(y + b * tau))
+    out = b * (y2 - y1) / tau
+    out = _crop_margin(out, margin)
+    return out.mean()
+
+
+def sure_gaussian_loss(
+    key: jax.Array,
+    y: jnp.ndarray,
+    x_net: jnp.ndarray,
+    model: Callable,
+    A: Callable,
+    *,
+    sigma: float,
+    tau: float = 1e-2,
+    margin: int = 0,
+    cropped_div: bool = False,
+    averaged_cst: bool = False,
+) -> jnp.ndarray:
+    """SURE estimate of the measurement-space MSE (never sees ground truth)."""
+    sigma2 = sigma * sigma
+    y1 = A(x_net)
+
+    div = mc_divergence(
+        key,
+        y,
+        y1,
+        model,
+        A,
+        tau=tau,
+        margin=margin if cropped_div else 0,
+    )
+    div = 2.0 * sigma2 * div
+
+    mse = _crop_margin(y1 - y, margin)
+    mse = jnp.mean(mse * mse)
+
+    cst = sigma2 if averaged_cst else sigma2 / y.shape[0]
+    return mse + div - cst
