@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark: training throughput of the paper's main config on real TPU.
+
+Measures images/sec for the full proposed-method train step (SwinIR 11.9M,
+SURE + scaling-EI loss = 3 model evals + backward on 48x48 crops, batch 8,
+everything in one jitted sharded graph) and prints ONE JSON line.
+
+Baseline context (BASELINE.md): the reference publishes no throughput
+numbers; BASELINE.json targets >=3x the A100 PyTorch reference per chip.
+An A100 running the reference's torch loop (3x SwinIR fwd + bwd @ 48px,
+batch 8, per-item host data synthesis) sustains roughly 25-40 images/sec;
+vs_baseline below is computed against 35 images/sec.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_IMAGES_PER_SEC = 35.0
+
+
+def main():
+    from sei_tpu.data import DeviceDataCache
+    from sei_tpu.losses import get_loss
+    from sei_tpu.models import get_model
+    from sei_tpu.physics import get_physics
+    from sei_tpu.train.trainer import Trainer
+
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
+    physics = get_physics(task="deblurring", kernel="Gaussian_R2", noise_level=5)
+    model = get_model(kind="Proposed", architecture="Transformer",
+                      task="deblurring", init_input_size=48)
+    loss_fn = get_loss(method="proposed", physics=physics, noise_level=5)
+
+    # synthetic stand-in for the Div2K cache (same shapes as 256px training)
+    n_img = 64
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((n_img, 3, 256, 256), dtype=np.float32))
+    key = jax.random.PRNGKey(0)
+    y = jax.jit(
+        jax.vmap(lambda im, i: physics.randomly_degrade(im[None], key, seed=i)[0])
+    )(x, jnp.arange(n_img))
+    cache = DeviceDataCache(
+        x=x, y=y,
+        heights=jnp.full((n_img,), 256, jnp.int32),
+        widths=jnp.full((n_img,), 256, jnp.int32),
+        ids=jnp.arange(n_img), rate=1,
+    )
+
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=batch, epochs=1, lr=1e-4, crop_size=256, out_dir=None,
+    )
+    state = trainer.init_state()
+    step = trainer._get_step(0)
+
+    # warmup/compile
+    state, loss = step(state, cache, trainer.base_key)
+    jax.block_until_ready(loss)
+
+    iters = int(os.environ.get("BENCH_ITERS", "50"))
+    t0 = time.time()
+    for _ in range(iters):
+        state, loss = step(state, cache, trainer.base_key)
+    jax.block_until_ready(loss)
+    dt = time.time() - t0
+
+    images_per_sec = batch * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip",
+                "value": round(images_per_sec, 2),
+                "unit": "images/sec",
+                "vs_baseline": round(images_per_sec / A100_REFERENCE_IMAGES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

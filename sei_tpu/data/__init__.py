@@ -1,0 +1,228 @@
+"""Datasets: ground-truth registry, synthetic measurements, device cache.
+
+Reference pipeline (ref src/datasets/): GroundTruthDataset (name registry +
+shorter-side-256 bicubic-antialias resize + memoize) -> SyntheticDataset
+(seeded degradation) -> Training/TestDataset (css swap, crop preparation).
+
+TPU-first redesign: because the reference's measurements are *deterministic
+per image and frozen across epochs* (ref src/datasets/synthetic_dataset.py:
+30-41), we synthesize each (x, y) pair ONCE on device and keep the whole
+dataset resident as padded arrays in HBM (a Div2K split at 256px is ~400 MB
+in f32).  The per-step train batch is then assembled entirely inside the
+jitted step: gather image -> aligned random crop -> loss.  No host round
+trips, no per-epoch re-degradation (the reference re-runs FFT blur + noise on
+every fetch).  Non-deterministic measurements (css re-degradation, or
+--no-SyntheticDataset__deterministic_measurements) re-degrade in-jit per step
+instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.resize import resize_shorter_side_np
+from .loader import read_image, write_image  # noqa: F401
+from .sources import (  # noqa: F401
+    Div2K,
+    FMD,
+    FolderDataset,
+    ImageSource,
+    SingleImageDataset,
+    TomographyDataset,
+    Urban100,
+)
+
+_REGISTRY = {
+    "div2k": Div2K,
+    "urban100": Urban100,
+    "ct": TomographyDataset,
+    "fmd": FMD,
+}
+
+
+class GroundTruthDataset:
+    """Name registry + resize + in-memory memoization (ref ground_truth.py)."""
+
+    def __init__(
+        self,
+        dataset_name: str,
+        datasets_dir: str = "./datasets",
+        split: str = "train",
+        download: bool = False,
+        size: Optional[int] = 256,
+        memoize_gt: bool = True,
+        single_image_blueprint: Optional[dict] = None,
+    ):
+        name = dataset_name.lower()
+        if name == "single_image":
+            self.source = SingleImageDataset(**(single_image_blueprint or {}))
+        elif name in _REGISTRY:
+            self.source = _REGISTRY[name](split, datasets_dir, download=download)
+        else:
+            raise ValueError(f"Unknown dataset: {dataset_name}")
+        self.size = size
+        self.memoize = memoize_gt
+        self._cache: dict[int, np.ndarray] = {}
+
+    def __len__(self):
+        return len(self.source)
+
+    def unique_id(self, index: int) -> int:
+        return self.source.unique_id(index)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        if self.memoize and index in self._cache:
+            return self._cache[index]
+        x = self.source.load(index)
+        if self.size is not None:
+            x = resize_shorter_side_np(x, self.size, antialias=True)
+        if self.memoize:
+            self._cache[index] = x
+        return x
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DeviceDataCache:
+    """The full dataset as padded device arrays (the TPU input pipeline).
+
+    x: (N, C, Hmax, Wmax) clean images, zero-padded bottom/right.
+    y: (N, C, Hy, Wy) measurements (Hy = Hmax/rate for SR).
+    heights/widths: true y-sizes per image (for crop offset ranges).
+    ids: per-image unique seed ids.
+    """
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    heights: jnp.ndarray
+    widths: jnp.ndarray
+    ids: jnp.ndarray
+    rate: int = dataclasses.field(default=1, metadata={"static": True})
+
+    def __len__(self):
+        return self.x.shape[0]
+
+
+def build_device_cache(
+    gt: GroundTruthDataset,
+    physics,
+    *,
+    base_key: jax.Array,
+    deterministic: bool = True,
+    unique_seeds: bool = True,
+    dtype=jnp.float32,
+    sharding=None,
+) -> DeviceDataCache:
+    """Degrade every image once on device and keep the results in HBM.
+
+    Equivalent to the reference's frozen measurement synthesis: seed =
+    unique image id (or 0), folded into ``base_key``
+    (ref src/datasets/synthetic_dataset.py:26-41 + physics/__init__.py:65-74).
+    """
+    n = len(gt)
+    imgs = [np.asarray(gt[i]) for i in range(n)]
+    hs = np.array([im.shape[-2] for im in imgs])
+    ws = np.array([im.shape[-1] for im in imgs])
+    hmax, wmax = int(hs.max()), int(ws.max())
+    rate = physics.rate if physics.task == "sr" else 1
+    # pad to rate multiple so y sizes divide exactly
+    hmax += (-hmax) % rate
+    wmax += (-wmax) % rate
+    c = imgs[0].shape[0]
+    x_pad = np.zeros((n, c, hmax, wmax), dtype=np.float32)
+    for i, im in enumerate(imgs):
+        x_pad[i, :, : im.shape[-2], : im.shape[-1]] = im
+    ids = np.array(
+        [gt.unique_id(i) if unique_seeds else 0 for i in range(n)], dtype=np.int32
+    )
+
+    x_dev = jnp.asarray(x_pad, dtype=dtype)
+    if sharding is not None:
+        x_dev = jax.device_put(x_dev, sharding)
+
+    if deterministic:
+        @jax.jit
+        def degrade_all(x, ids):
+            def one(args):
+                img, img_id = args
+                return physics.randomly_degrade(img[None], base_key, seed=img_id)[0]
+
+            return jax.lax.map(one, (x, ids), batch_size=8)
+
+        y_dev = degrade_all(x_dev, jnp.asarray(ids))
+    else:
+        # placeholder; trainer re-degrades in-jit each step with fresh keys
+        y_dev = jax.jit(jax.vmap(lambda im: physics.A(im[None])[0]))(x_dev)
+
+    return DeviceDataCache(
+        x=x_dev,
+        y=y_dev,
+        heights=jnp.asarray(hs + (-hs) % rate, dtype=jnp.int32),
+        widths=jnp.asarray(ws + (-ws) % rate, dtype=jnp.int32),
+        ids=jnp.asarray(ids),
+        rate=rate,
+    )
+
+
+def sample_train_batch(
+    cache: DeviceDataCache,
+    key: jax.Array,
+    *,
+    batch_size: int,
+    crop_size: int = 256,
+    css: bool = False,
+    physics=None,
+    fresh_measurements: bool = False,
+):
+    """Assemble one training batch fully on device (jit-safe).
+
+    Reproduces the reference's sampling distribution: uniform image choice
+    (shuffled dataloader), then an aligned random crop of the (x, y) pair
+    with the SR size ratio.  ``crop_size`` is the *y*-side crop: 256 for
+    deblurring (PrepareTrainingPairs, ref src/datasets/__init__.py:29-46),
+    48 for SR (the reference's ``_HOTFIX`` path, ref src/datasets/
+    __init__.py:78-85 + demo/train.py:116-119).  CSS swaps
+    (x, y) -> (y, degrade_fresh(y)) (ref src/datasets/__init__.py:70-76).
+    """
+    k_img, k_crop, k_noise = jax.random.split(key, 3)
+    n = len(cache)
+    idx = jax.random.randint(k_img, (batch_size,), 0, n)
+    rate = cache.rate
+
+    x_sel = cache.x[idx]
+    y_sel = cache.y[idx]
+    if fresh_measurements:
+        assert physics is not None
+        y_sel = physics.degrade(x_sel, k_noise)
+    h_sel = cache.heights[idx]
+    w_sel = cache.widths[idx]
+
+    ck = jax.random.split(k_crop, batch_size)
+    ys = crop_size
+
+    def crop_one(x, y, h, w, k):
+        # y-crop of ys within the true (h/rate, w/rate) region; x gets the
+        # aligned (ys*rate) crop at offset*rate (ref src/crop.py:15-39).
+        hy = h // rate
+        wy = w // rate
+        ki, kj = jax.random.split(k)
+        i = jax.random.randint(ki, (), 0, jnp.maximum(hy - ys + 1, 1))
+        j = jax.random.randint(kj, (), 0, jnp.maximum(wy - ys + 1, 1))
+        y_crop = jax.lax.dynamic_slice(y, (0, i, j), (y.shape[0], ys, ys))
+        x_crop = jax.lax.dynamic_slice(
+            x, (0, i * rate, j * rate), (x.shape[0], ys * rate, ys * rate)
+        )
+        return x_crop, y_crop
+
+    x_b, y_b = jax.vmap(crop_one)(x_sel, y_sel, h_sel, w_sel, ck)
+
+    if css:
+        assert physics is not None
+        z = physics.degrade(y_b, k_noise)
+        return y_b, z
+    return x_b, y_b

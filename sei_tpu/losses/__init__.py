@@ -76,12 +76,31 @@ class LossConfig:
     xy_size_ratio: int = 1
     supervised_l1: bool = False  # explicit flag for the SUPERVISED_L1 env hook
     sure_rate_hotfix: Optional[float] = None  # explicit _TEMPORARY_HOTFIX
+    # "normal" scaling kind shrinks the image, so its rate must be static
+    # under jit; the trainer compiles one loss variant per rate and picks one
+    # per step (matching the reference's one-batch-wide-rate sampling,
+    # ref src/transforms.py:126-145).
+    fixed_normal_rate: Optional[float] = None
 
     @property
     def sigma(self) -> float:
         return self.noise_level / 255.0
 
     def ei_transform(self):
+        if (
+            self.transforms == "Scaling_Transforms"
+            and self.scaling_kind == "normal"
+        ):
+            assert self.fixed_normal_rate is not None, (
+                "normal scaling kind needs a static per-step rate; build one "
+                "loss variant per rate (see trainer)"
+            )
+            from ..ops.scaling import normal_scaling_transform
+
+            rate = self.fixed_normal_rate
+            return lambda key, x: normal_scaling_transform(
+                x, rate, antialias=self.scaling_antialias
+            )
         return get_ei_transform(
             self.transforms, kind=self.scaling_kind, antialias=self.scaling_antialias
         )
@@ -215,6 +234,7 @@ def get_loss(
     crop_training_pairs: bool = True,
     crop_size: int = 48,
     supervised_l1: bool = False,
+    fixed_normal_rate: Optional[float] = None,
 ) -> Callable:
     """Factory mirroring ref get_loss; returns loss(key, x, y, model)."""
     method, transforms = normalize_method(method, transforms)
@@ -241,5 +261,6 @@ def get_loss(
         crop_size=crop_size,
         xy_size_ratio=physics.rate if physics.task == "sr" else 1,
         supervised_l1=supervised_l1,
+        fixed_normal_rate=fixed_normal_rate,
     )
     return cfg.build(physics.A)

@@ -1,0 +1,237 @@
+"""The training engine: one jitted, donated, mesh-sharded step.
+
+Reference hot loop (ref demo/train.py:252-295 + SURVEY.md section 3.1): per
+step, 3 SwinIR forwards + 1 backward on 48x48 crops, batch 8, with host-side
+data synthesis per item.  Here the WHOLE step - batch sampling from the
+HBM-resident dataset cache, aligned crops, degradation (when fresh noise is
+required), the SURE+EI loss with its internal model evaluations, gradient,
+and the optimizer update - is one jitted graph with donated state, and the
+batch is sharded over the ``data`` mesh axis (XLA inserts the gradient
+psum over ICI).
+
+Epoch bookkeeping matches the reference: epochs x (len(dataset)//batch)
+steps, per-epoch mean loss to stdout + training.csv, checkpoints at epoch 0 /
+every interval / final (ref demo/train.py:191-295).
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+import time
+from datetime import datetime
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..data import DeviceDataCache, sample_train_batch
+from ..losses.weights_distance import weights_distance_loss
+from ..parallel import batch_sharding, make_mesh, replicate, replicated
+from .checkpoint import CheckpointManager
+from .optim import get_lr_schedule, get_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Owns the compiled train step and the epoch loop."""
+
+    model: Any  # sei_tpu.models.Model
+    loss_fn: Callable  # loss(key, x, y, model_apply) -> scalar
+    physics: Any
+    cache: DeviceDataCache
+    batch_size: int = 8
+    epochs: int = 500
+    lr: float = 1e-4
+    optimizer: str = "Adam"
+    beta2: float = 0.999
+    lr_scheduler_kind: str = "delayed_linear_decay"
+    crop_size: int = 256  # y-side dataset crop (48 for SR, see data module)
+    css: bool = False
+    fresh_measurements: bool = False
+    out_dir: Optional[str] = None
+    checkpoint_interval: int = 50
+    trainable_mask: Any = None
+    weights_distance_lambda: Optional[float] = None
+    base_key: jax.Array = dataclasses.field(
+        default_factory=lambda: jax.random.PRNGKey(0)
+    )
+    mesh: Any = None
+    normal_rate_losses: Optional[list] = None  # per-rate loss variants
+    disable_scheduler: bool = False
+    start_epoch: int = 0
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh()
+        self.steps_per_epoch = max(len(self.cache) // self.batch_size, 1)
+        schedule = (
+            self.lr
+            if self.disable_scheduler
+            else get_lr_schedule(
+                self.lr_scheduler_kind, self.lr, self.epochs, self.steps_per_epoch
+            )
+        )
+        self.tx = get_optimizer(
+            kind=self.optimizer,
+            lr_schedule=schedule,
+            beta2=self.beta2,
+            trainable_mask=self.trainable_mask,
+        )
+        self._pretrained = (
+            jax.tree_util.tree_map(jnp.asarray, self.model.params)
+            if self.weights_distance_lambda is not None
+            else None
+        )
+        self._compiled = {}
+
+    # -- state --------------------------------------------------------------
+    def init_state(self) -> TrainState:
+        params = replicate(self.mesh, self.model.params)
+        return TrainState(
+            step=jnp.asarray(self.start_epoch * self.steps_per_epoch, jnp.int32),
+            params=params,
+            opt_state=self.tx.init(params),
+        )
+
+    # -- the step -----------------------------------------------------------
+    def _make_step(self, loss_fn):
+        bsh = batch_sharding(self.mesh)
+        rep = replicated(self.mesh)
+
+        def step_fn(state: TrainState, cache: DeviceDataCache, key: jax.Array):
+            k_step = jax.random.fold_in(key, state.step)
+            k_batch, k_loss, k_drop = jax.random.split(k_step, 3)
+            x, y = sample_train_batch(
+                cache,
+                k_batch,
+                batch_size=self.batch_size,
+                crop_size=self.crop_size,
+                css=self.css,
+                physics=self.physics,
+                fresh_measurements=self.fresh_measurements,
+            )
+            x = jax.lax.with_sharding_constraint(x, bsh)
+            y = jax.lax.with_sharding_constraint(y, bsh)
+
+            def loss_of(params):
+                f = lambda img: self.model.apply_fn(
+                    params, img, train=True, rng=k_drop
+                )
+                loss = loss_fn(k_loss, x, y, f)
+                if self._pretrained is not None:
+                    loss = loss + weights_distance_loss(
+                        params, self._pretrained, self.weights_distance_lambda
+                    )
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_of)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                step=state.step + 1, params=params, opt_state=opt_state
+            )
+            return new_state, loss
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def _get_step(self, variant: int = 0):
+        if variant not in self._compiled:
+            fn = (
+                self.loss_fn
+                if self.normal_rate_losses is None
+                else self.normal_rate_losses[variant]
+            )
+            self._compiled[variant] = self._make_step(fn)
+        return self._compiled[variant]
+
+    # -- the loop -----------------------------------------------------------
+    def train(self, *, log_every_epoch: bool = True, on_epoch_end=None):
+        state = self.init_state()
+        n_variants = (
+            len(self.normal_rate_losses) if self.normal_rate_losses else 1
+        )
+        rng = np.random.default_rng(0)
+
+        writer = None
+        ckpt = None
+        if self.out_dir:
+            os.makedirs(self.out_dir, exist_ok=True)
+            f = open(
+                os.path.join(self.out_dir, "training.csv"),
+                "w",
+                newline="",
+                buffering=1,
+            )
+            writer = csv.writer(f)
+            writer.writerow(["Epoch", "Training Loss"])
+            ckpt = CheckpointManager(os.path.join(self.out_dir, "checkpoints"))
+            ckpt.save(0, self.epochs, self._state_dict(state, epoch=0))
+
+        t_start = time.time()
+        images_seen = 0
+        for epoch in range(self.start_epoch, self.epochs):
+            losses = []
+            for _ in range(self.steps_per_epoch):
+                variant = int(rng.integers(n_variants)) if n_variants > 1 else 0
+                step_fn = self._get_step(variant)
+                state, loss = step_fn(state, self.cache, self.base_key)
+                losses.append(loss)
+                images_seen += self.batch_size
+            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+            if log_every_epoch:
+                ts = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+                nd = len(str(self.epochs))
+                print(
+                    f"\t{ts}\t[{epoch + 1:{nd}d}/{self.epochs}]\t"
+                    f"Training_Loss: {epoch_loss:.2e}"
+                )
+            if writer:
+                writer.writerow([epoch + 1, epoch_loss])
+            if ckpt and (
+                epoch % self.checkpoint_interval == 0 or epoch == self.epochs - 1
+            ):
+                ckpt.save(
+                    epoch + 1, self.epochs, self._state_dict(state, epoch=epoch)
+                )
+            if on_epoch_end is not None:
+                on_epoch_end(epoch, state, epoch_loss)
+
+        if ckpt:
+            ckpt.wait()
+        dt = time.time() - t_start
+        self.model.params = jax.device_get(state.params)
+        return state, {
+            "wall_time_s": dt,
+            "images_per_sec": images_seen / dt if dt > 0 else 0.0,
+            "steps": int(state.step),
+        }
+
+    def _state_dict(self, state: TrainState, *, epoch: int):
+        return {
+            "epoch": np.asarray(epoch),
+            "params": jax.device_get(state.params),
+            "opt_state": jax.device_get(state.opt_state),
+        }
+
+    def load_checkpoint(self, path: str):
+        """RESUME support (ref demo/train.py:213-230): restores epoch/params/
+        optimizer; the caller should also pin --lr and disable the schedule."""
+        mgr = CheckpointManager(os.path.dirname(path) or ".")
+        template = self._state_dict(self.init_state(), epoch=0)
+        data = mgr.restore(os.path.abspath(path), template)
+        self.start_epoch = int(data["epoch"])
+        self.model.params = data["params"]
+        return data

@@ -1,0 +1,155 @@
+"""Integration tests: device cache, sharded train step, checkpoint round-trip.
+
+Runs on the virtual 8-device CPU mesh with a small Convolutional model (the
+reference provides SingleImageDataset + the Convolutional architecture
+precisely for cheap runs - SURVEY.md section 4.3).
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sei_tpu.data import DeviceDataCache, GroundTruthDataset, build_device_cache, sample_train_batch
+from sei_tpu.losses import get_loss
+from sei_tpu.models import Model, get_model
+from sei_tpu.parallel import make_mesh, replicate
+from sei_tpu.physics import get_physics
+from sei_tpu.train.trainer import Trainer
+
+
+@pytest.fixture(scope="module")
+def tiny_setup(tmp_path_factory):
+    # a single 64x64 synthetic image dataset on disk
+    from sei_tpu.data import write_image
+
+    root = tmp_path_factory.mktemp("data")
+    rng = np.random.default_rng(0)
+    img = rng.random((3, 80, 64)).astype(np.float32)
+    path = str(root / "img.png")
+    write_image(path, img)
+    return path
+
+
+def _make_cache(path, physics, size=64):
+    gt = GroundTruthDataset(
+        dataset_name="single_image",
+        size=size,
+        memoize_gt=True,
+        single_image_blueprint={"image_path": path, "duplicates_count": 8},
+    )
+    return build_device_cache(gt, physics, base_key=jax.random.PRNGKey(0))
+
+
+def test_device_cache_shapes_and_determinism(tiny_setup):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    assert cache.x.shape[0] == 8
+    assert cache.x.shape[-2:] == cache.y.shape[-2:]
+    # deterministic: rebuilding gives identical measurements
+    cache2 = _make_cache(tiny_setup, physics)
+    np.testing.assert_allclose(np.asarray(cache.y), np.asarray(cache2.y))
+
+
+def test_sample_train_batch_aligned_sr(tiny_setup):
+    physics = get_physics(task="sr", sr_factor=2, noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    x, y = sample_train_batch(
+        cache, jax.random.PRNGKey(1), batch_size=4, crop_size=24
+    )
+    assert y.shape == (4, 3, 24, 24)
+    assert x.shape == (4, 3, 48, 48)
+
+
+def test_trainer_loss_decreases(tiny_setup):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    loss_fn = get_loss(
+        method="supervised", physics=physics, noise_level=5, crop_size=32
+    )
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=8, epochs=30, lr=2e-3, crop_size=64, out_dir=None,
+    )
+    losses = []
+    trainer.train(log_every_epoch=False,
+                  on_epoch_end=lambda e, s, l: losses.append(l))
+    assert losses[-1] < losses[0] * 0.9, losses[:3] + losses[-3:]
+
+
+def test_trainer_sharded_batch_over_mesh(tiny_setup):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    mesh = make_mesh()  # 8 virtual devices
+    assert mesh.devices.size == 8
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    loss_fn = get_loss(method="proposed", physics=physics, crop_size=32)
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=8, epochs=1, lr=1e-4, crop_size=64, mesh=mesh,
+    )
+    state = trainer.init_state()
+    step = trainer._get_step(0)
+    new_state, loss = step(state, cache, trainer.base_key)
+    assert bool(jnp.isfinite(loss))
+    # params stay replicated across all 8 devices
+    leaf = jax.tree_util.tree_leaves(new_state.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_checkpoint_roundtrip(tiny_setup, tmp_path):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+
+    def build(out_dir=None):
+        model = get_model(
+            kind="Proposed", architecture="Convolutional", task="deblurring",
+            conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+        )
+        loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
+        return Trainer(
+            model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+            batch_size=4, epochs=2, lr=1e-3, crop_size=64,
+            out_dir=out_dir, checkpoint_interval=1,
+        )
+
+    out = str(tmp_path / "run")
+    t1 = build(out)
+    t1.train(log_every_epoch=False)
+    assert os.path.exists(os.path.join(out, "training.csv"))
+    ckpts = sorted(os.listdir(os.path.join(out, "checkpoints")))
+    assert len(ckpts) >= 2
+
+    t2 = build()
+    t2.load_checkpoint(os.path.join(out, "checkpoints", ckpts[-1]))
+    a = jax.tree_util.tree_leaves(t1.model.params)
+    b = jax.tree_util.tree_leaves(t2.model.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_css_batch_swaps_pair(tiny_setup):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    x, y = sample_train_batch(
+        cache, jax.random.PRNGKey(3), batch_size=2, crop_size=32,
+        css=True, physics=physics,
+    )
+    # css: "x" is the measurement crop, "y" its re-degradation
+    assert x.shape == y.shape == (2, 3, 32, 32)
+    assert not np.allclose(np.asarray(x), np.asarray(y))
+
+
+def test_dryrun_multichip():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
