@@ -77,11 +77,8 @@ def _apply_device(args):
         dev = args.device
         if dev.startswith("cuda"):
             dev = "cpu"  # no CUDA here; accept reference scripts gracefully
-        if dev in ("cpu", "tpu"):
-            try:
-                jax.config.update("jax_platforms", "cpu" if dev == "cpu" else None)
-            except Exception:
-                pass
+        if dev == "cpu":
+            jax.config.update("jax_platforms", "cpu")
 
 
 def add_train_args(parser: argparse.ArgumentParser):
