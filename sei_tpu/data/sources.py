@@ -49,9 +49,12 @@ class Div2K(ImageSource):
     def __len__(self):
         return self.split_size
 
-    def load(self, index):
+    def path(self, index):
         i = self.split_offset + index
-        return read_image(f"{self.split_root}/{i:04d}.png")
+        return f"{self.split_root}/{i:04d}.png"
+
+    def load(self, index):
+        return read_image(self.path(index))
 
     def unique_id(self, index):
         return self.split_offset + index - 1
@@ -87,9 +90,12 @@ class Urban100(ImageSource):
     def __len__(self):
         return self.split_size
 
-    def load(self, index):
+    def path(self, index):
         i = self.split_offset + index
-        return read_image(f"{self.datasets_dir}/Urban100/Urban100_HR/img_{i:03d}.png")
+        return f"{self.datasets_dir}/Urban100/Urban100_HR/img_{i:03d}.png"
+
+    def load(self, index):
+        return read_image(self.path(index))
 
     def unique_id(self, index):
         return self.split_offset + index - 1
@@ -110,10 +116,10 @@ class TomographyDataset(ImageSource):
         assert channels in (1, 3)
         self.split = split
         self.channels = channels
-        self.path = f"{datasets_dir}/CT/dinv_dataset0.h5"
+        self.h5_path = f"{datasets_dir}/CT/dinv_dataset0.h5"
         import h5py
 
-        self._h5 = h5py.File(self.path, "r")
+        self._h5 = h5py.File(self.h5_path, "r")
         self._key = "x_train" if split == "train" else "x_test"
         size = self._h5[self._key].shape[0]
         assert size == (4992 if split == "train" else 100), size
@@ -155,6 +161,9 @@ class FMD(ImageSource):
     def __len__(self):
         return len(self.paths)
 
+    def path(self, index):
+        return self.paths[index]
+
     def load(self, index):
         return read_image(self.paths[index])
 
@@ -189,6 +198,9 @@ class FolderDataset(ImageSource):
 
     def __len__(self):
         return len(self.paths)
+
+    def path(self, index):
+        return self.paths[index]
 
     def load(self, index):
         return read_image(self.paths[index])
