@@ -42,6 +42,11 @@ def main():
             physics_true_adjoint=args.physics_true_adjoint,
         )
 
+    if args.lpips_weights:
+        from sei_tpu.metrics import set_lpips_weights
+
+        set_lpips_weights(args.lpips_weights)
+
     model = get_model(
         kind=args.model_kind,
         architecture=args.ProposedModel__architecture,

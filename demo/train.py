@@ -167,6 +167,7 @@ def main():
             base_key=jax.random.PRNGKey(args.seed),
             deterministic=args.SyntheticDataset__deterministic_measurements,
             unique_seeds=args.SyntheticDataset__unique_seeds,
+            upsample_y_to_x=args.homogeneous_swinir and args.task == "sr",
         )
         # SR uses the direct 48-crop path; deblurring crops 256 then the loss
         # crops 48 (ref demo/train.py:116-119 + datasets/__init__.py:78-90).

@@ -143,6 +143,7 @@ def build_device_cache(
     unique_seeds: bool = True,
     dtype=jnp.float32,
     sharding=None,
+    upsample_y_to_x: bool = False,
 ) -> DeviceDataCache:
     """Degrade every image once on device and keep the results in HBM.
 
@@ -184,6 +185,17 @@ def build_device_cache(
     else:
         # placeholder; trainer re-degrades in-jit each step with fresh keys
         y_dev = jax.jit(jax.vmap(lambda im: physics.A(im[None])[0]))(x_dev)
+
+    if upsample_y_to_x and rate > 1:
+        # HOMOGENEOUS_SWINIR mode: bicubic pre-upsampling of the measurement
+        # to the clean image's size (ref src/datasets/synthetic_dataset.py:
+        # 43-54); the cache then behaves like a rate-1 dataset.
+        from ..ops.resize import resize
+
+        y_dev = jax.jit(lambda y: resize(y, size=(hmax, wmax), antialias=False))(
+            y_dev
+        )
+        rate = 1
 
     return DeviceDataCache(
         x=x_dev,

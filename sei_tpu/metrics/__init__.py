@@ -121,13 +121,18 @@ def quantize_and_clamp(im: jnp.ndarray) -> jnp.ndarray:
 _LPIPS = None
 
 
+def set_lpips_weights(weights_path: str):
+    """Enable LPIPS for subsequent compute_metrics calls (local weights)."""
+    global _LPIPS
+    from .lpips import LPIPS  # lazy; needs local AlexNet+head weights
+
+    _LPIPS = LPIPS(weights_path)
+
+
 def lpips_fn(x_hat, x, weights_path: str | None = None):
     """Optional LPIPS; returns NaN without local pretrained weights."""
-    global _LPIPS
     if _LPIPS is None and weights_path is not None:
-        from .lpips import LPIPS  # lazy; needs local VGG weights
-
-        _LPIPS = LPIPS(weights_path)
+        set_lpips_weights(weights_path)
     if _LPIPS is None:
         return float("nan")
     return _LPIPS(x_hat, x)

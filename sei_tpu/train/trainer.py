@@ -44,6 +44,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def _env_flag(name: str, default: bool) -> bool:
+    v = os.environ.get(name)
+    if v is None:
+        return default
+    return v not in ("0", "false", "False", "")
+
+
 @dataclasses.dataclass
 class Trainer:
     """Owns the compiled train step and the epoch loop."""
@@ -72,10 +79,26 @@ class Trainer:
     normal_rate_losses: Optional[list] = None  # per-rate loss variants
     disable_scheduler: bool = False
     start_epoch: int = 0
+    # Buffer donation and batch-sharding constraints are the right defaults
+    # on real TPU slices; the axon relay (single tunneled chip) mishandles
+    # donated state (observed ~70x slowdown - round-1 probes), so both are
+    # auto-disabled there.  Env overrides: SEI_DONATE=0/1, SEI_CONSTRAIN=0/1.
+    donate: Optional[bool] = None
+    constrain_batch: Optional[bool] = None
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh()
+        on_relay = any(
+            "axon" in str(getattr(d, "client", "")).lower()
+            or "axon" in str(d.platform).lower()
+            for d in self.mesh.devices.flat
+        ) or os.environ.get("JAX_PLATFORMS", "") == "axon"
+        if self.donate is None:
+            self.donate = _env_flag("SEI_DONATE", not on_relay)
+        if self.constrain_batch is None:
+            multi = self.mesh.devices.size > 1
+            self.constrain_batch = _env_flag("SEI_CONSTRAIN", multi)
         self.steps_per_epoch = max(len(self.cache) // self.batch_size, 1)
         schedule = (
             self.lr
@@ -123,8 +146,9 @@ class Trainer:
                 physics=self.physics,
                 fresh_measurements=self.fresh_measurements,
             )
-            x = jax.lax.with_sharding_constraint(x, bsh)
-            y = jax.lax.with_sharding_constraint(y, bsh)
+            if self.constrain_batch:
+                x = jax.lax.with_sharding_constraint(x, bsh)
+                y = jax.lax.with_sharding_constraint(y, bsh)
 
             def loss_of(params):
                 f = lambda img: self.model.apply_fn(
@@ -145,7 +169,7 @@ class Trainer:
             )
             return new_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0,))
+        return jax.jit(step_fn, donate_argnums=(0,) if self.donate else ())
 
     def _get_step(self, variant: int = 0):
         if variant not in self._compiled:

@@ -1,0 +1,95 @@
+"""LPIPS architecture, homogeneous-SR cache, native loader, N2I wrapper."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sei_tpu.data import GroundTruthDataset, build_device_cache, write_image
+from sei_tpu.noise2inverse import measurement_slices, noise2inverse_model
+from sei_tpu.physics import get_physics
+
+
+@pytest.fixture(scope="module")
+def img_path(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    p = str(root / "a.png")
+    write_image(p, rng.random((3, 64, 64)).astype(np.float32))
+    return p
+
+
+def test_lpips_with_synthetic_weights(tmp_path):
+    import torch
+
+    rng = np.random.default_rng(0)
+    sd = {}
+    cfg = [(64, 11, 3), (192, 5, 64), (384, 3, 192), (256, 3, 384), (256, 3, 256)]
+    for (o, k, i), fi in zip(cfg, [0, 3, 6, 8, 10]):
+        sd[f"features.{fi}.weight"] = torch.from_numpy(
+            (rng.standard_normal((o, i, k, k)) * 0.02).astype(np.float32)
+        )
+        sd[f"features.{fi}.bias"] = torch.zeros(o)
+    for j, (o, _, _) in enumerate(cfg):
+        sd[f"lin{j}.model.1.weight"] = torch.from_numpy(
+            np.abs(rng.standard_normal((1, o, 1, 1))).astype(np.float32)
+        )
+    path = str(tmp_path / "lpips.pth")
+    torch.save(sd, path)
+
+    from sei_tpu.metrics.lpips import LPIPS
+
+    m = LPIPS(path)
+    a = rng.random((3, 64, 64)).astype(np.float32)
+    b = rng.random((3, 64, 64)).astype(np.float32)
+    assert m(a, a) == 0.0
+    assert m(a, b) > 0.0
+
+
+def test_homogeneous_sr_cache_upsamples_y(img_path):
+    phys = get_physics(task="sr", sr_factor=2, noise_level=5)
+    gt = GroundTruthDataset(
+        dataset_name="single_image", size=64, memoize_gt=False,
+        single_image_blueprint={"image_path": img_path, "duplicates_count": 2},
+    )
+    cache = build_device_cache(
+        gt, phys, base_key=jax.random.PRNGKey(0), upsample_y_to_x=True
+    )
+    assert cache.y.shape[-2:] == cache.x.shape[-2:]
+    assert cache.rate == 1
+
+
+def test_native_loader_matches_python(img_path):
+    from sei_tpu.data import native
+    from sei_tpu.data.loader import read_image
+    from sei_tpu.ops.resize import resize_shorter_side_np
+
+    if not native.available():
+        pytest.skip("native loader not built")
+    out = native.load_png_batch([img_path] * 3, size=48)
+    want = resize_shorter_side_np(read_image(img_path), 48, antialias=True)
+    for im in out:
+        np.testing.assert_allclose(im, want, atol=1e-6)
+
+
+def test_n2i_slices_partition_measurement():
+    rng = np.random.default_rng(1)
+    y = jnp.asarray(rng.random((1, 3, 16, 16), dtype=np.float32))
+    slices = measurement_slices(y, 4)
+    np.testing.assert_allclose(np.asarray(sum(slices)), np.asarray(y), atol=1e-7)
+
+
+def test_n2i_model_runs_for_deblurring():
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 3, 32, 32), dtype=np.float32))
+    y = phys.degrade(x, jax.random.PRNGKey(0))
+    model = noise2inverse_model(
+        lambda t: t, task="deblurring", kernel=phys.kernel,
+        degradation_inverse_fn=phys.A_dagger,
+    )
+    out = model(y)
+    assert out.shape == y.shape
+    assert bool(jnp.all(jnp.isfinite(out)))
