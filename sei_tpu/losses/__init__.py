@@ -25,7 +25,12 @@ import jax.numpy as jnp
 
 from ..transforms import crop_pair_batch, get_ei_transform
 from .r2r import r2r_ei_loss, r2r_loss  # noqa: F401
-from .sure import mc_divergence, sure_gaussian_loss  # noqa: F401
+from .sure import (  # noqa: F401
+    mc_divergence,
+    sample_probe,
+    sure_gaussian_loss,
+    sure_gaussian_loss_from_outputs,
+)
 from .weights_distance import weights_distance_loss  # noqa: F401
 
 METHOD_ALIASES = {
@@ -119,14 +124,20 @@ class LossConfig:
         elif method == "sure":
 
             def fn(key, x, y, model):
-                x_net = model(y)
-                return sure_gaussian_loss(
-                    key,
+                # fused: f(y) and f(y + tau*b) in ONE 2B-sized forward
+                tau = 1e-2
+                probe_margin = self.sure_margin if self.sure_cropped_div else 0
+                b = sample_probe(key, y, probe_margin)
+                pair = model(jnp.concatenate([y, y + b * tau], axis=0))
+                x_net, x_tau = jnp.split(pair, 2, axis=0)
+                return sure_gaussian_loss_from_outputs(
                     y,
                     x_net,
-                    model,
+                    x_tau,
+                    b,
                     A,
                     sigma=sigma,
+                    tau=tau,
                     margin=self.sure_margin,
                     cropped_div=self.sure_cropped_div,
                     averaged_cst=self.sure_averaged_cst,
@@ -153,14 +164,23 @@ class LossConfig:
 
                 def fn(key, x, y, model):
                     k_sure, k_t = jax.random.split(key)
-                    x_net = model(y)
-                    loss = sure_gaussian_loss(
-                        k_sure,
+                    # SURE's two evals f(y), f(y + tau*b) run as ONE 2B-sized
+                    # forward (bigger GEMMs on the MXU, one dispatch).
+                    tau = 1e-2
+                    probe_margin = (
+                        self.sure_margin if self.sure_cropped_div else 0
+                    )
+                    b = sample_probe(k_sure, y, probe_margin)
+                    pair = model(jnp.concatenate([y, y + b * tau], axis=0))
+                    x_net, x_tau = jnp.split(pair, 2, axis=0)
+                    loss = sure_gaussian_loss_from_outputs(
                         y,
                         x_net,
-                        model,
+                        x_tau,
+                        b,
                         A,
                         sigma=sigma,
+                        tau=tau,
                         margin=self.sure_margin,
                         cropped_div=self.sure_cropped_div,
                         averaged_cst=self.sure_averaged_cst,

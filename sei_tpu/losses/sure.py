@@ -44,6 +44,47 @@ def mc_divergence(
     return out.mean()
 
 
+def sample_probe(key: jax.Array, y: jnp.ndarray, margin: int = 0) -> jnp.ndarray:
+    """Draw the MC probe b ~ N(0,I), zeroed outside the margin window."""
+    b = jax.random.normal(key, y.shape, y.dtype)
+    if margin != 0:
+        mask = jnp.zeros_like(y).at[..., margin:-margin, margin:-margin].set(1.0)
+        b = b * mask
+    return b
+
+
+def sure_gaussian_loss_from_outputs(
+    y: jnp.ndarray,
+    x_net: jnp.ndarray,
+    x_tau: jnp.ndarray,
+    b: jnp.ndarray,
+    A: Callable,
+    *,
+    sigma: float,
+    tau: float = 1e-2,
+    margin: int = 0,
+    cropped_div: bool = False,
+    averaged_cst: bool = False,
+) -> jnp.ndarray:
+    """SURE given precomputed model outputs f(y) and f(y + tau*b).
+
+    Lets the trainer batch the two model evaluations into ONE forward at 2B
+    (better MXU utilization than two B-sized calls); numerically identical
+    to :func:`sure_gaussian_loss` given the same probe.
+    """
+    sigma2 = sigma * sigma
+    y1 = A(x_net)
+    y2 = A(x_tau)
+    div_margin = margin if cropped_div else 0
+    out = b * (y2 - y1) / tau
+    out = _crop_margin(out, div_margin)
+    div = 2.0 * sigma2 * out.mean()
+    mse = _crop_margin(y1 - y, margin)
+    mse = jnp.mean(mse * mse)
+    cst = sigma2 if averaged_cst else sigma2 / y.shape[0]
+    return mse + div - cst
+
+
 def sure_gaussian_loss(
     key: jax.Array,
     y: jnp.ndarray,

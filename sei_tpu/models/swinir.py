@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import math
 from functools import lru_cache
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -84,12 +84,13 @@ def window_reverse(win: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
 class Mlp(nn.Module):
     hidden: int
     out: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
         return x
 
 
@@ -98,6 +99,7 @@ class WindowAttention(nn.Module):
     window_size: int
     num_heads: int
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray]):
@@ -107,7 +109,7 @@ class WindowAttention(nn.Module):
         hd = c // nh
         scale = hd**-0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
         q = q * scale
@@ -121,8 +123,14 @@ class WindowAttention(nn.Module):
             nn.initializers.truncated_normal(stddev=0.02),
             ((2 * self.window_size - 1) ** 2, nh),
         )
+        # Bias lookup as a constant one-hot matmul instead of a gather: the
+        # backward pass is then a transposed matmul on the MXU rather than a
+        # serialized TPU scatter-add.
         idx = relative_position_index(self.window_size).reshape(-1)
-        bias = table[idx].reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
+        onehot = np.zeros((n * n, table.shape[0]), np.float32)
+        onehot[np.arange(n * n), idx] = 1.0
+        bias = jnp.asarray(onehot) @ table.astype(jnp.float32)  # (N*N, nh)
+        bias = bias.reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
         attn = attn + bias[None].astype(attn.dtype)
 
         if mask is not None:
@@ -134,7 +142,7 @@ class WindowAttention(nn.Module):
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
         out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
 
 class DropPath(nn.Module):
@@ -161,6 +169,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     drop_path: float
     qkv_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -180,6 +189,7 @@ class SwinBlock(nn.Module):
             window_size=ws,
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
+            dtype=self.dtype,
             name="attn",
         )(win, mask)
         y = window_reverse(win, ws, h, w)
@@ -189,7 +199,7 @@ class SwinBlock(nn.Module):
         dp = DropPath(rate=self.drop_path)
         x = shortcut + dp(y, deterministic)
         z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
-        z = Mlp(hidden=int(c * self.mlp_ratio), out=c, name="mlp")(z)
+        z = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype, name="mlp")(z)
         return x + dp(z, deterministic)
 
 
@@ -204,6 +214,7 @@ class RSTB(nn.Module):
     drop_paths: Sequence[float]
     qkv_bias: bool = True
     resi_connection: str = "1conv"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -217,10 +228,11 @@ class RSTB(nn.Module):
                 mlp_ratio=self.mlp_ratio,
                 drop_path=self.drop_paths[i],
                 qkv_bias=self.qkv_bias,
+                dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)
         if self.resi_connection == "1conv":
-            x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv")(x)
+            x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
         else:  # 3conv (bottleneck)
             x = nn.Conv(self.dim // 4, (3, 3), padding="SAME", name="conv_0")(x)
             x = nn.leaky_relu(x, 0.2)
@@ -264,6 +276,8 @@ class SwinIR(nn.Module):
     upsampler: Optional[str] = None
     resi_connection: str = "1conv"
     num_feat: int = 64
+    # compute dtype for matmuls/convs (params stay f32); bf16 on TPU
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -302,43 +316,44 @@ class SwinIR(nn.Module):
                     drop_paths=tuple(dpr[d0 : d0 + depth]),
                     qkv_bias=self.qkv_bias,
                     resi_connection=self.resi_connection,
+                    dtype=self.dtype,
                     name=f"layers_{li}",
                 )(f, deterministic)
                 d0 += depth
             return nn.LayerNorm(epsilon=1e-5, name="norm")(f)
 
         if self.upsampler == "pixelshuffle":
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", name="conv_first")(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
             res = nn.Conv(
                 self.embed_dim, (3, 3), padding="SAME", name="conv_after_body"
             )(features(feat))
             feat = res + feat
-            feat = nn.Conv(self.num_feat, (3, 3), padding="SAME",
+            feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
                            name="conv_before_upsample_0")(feat)
             feat = nn.leaky_relu(feat, 0.01)
             # Upsample tower: x2 stages (+ optional x3 stage), torch order.
             scale = self.upscale
             stage = 0
             while scale % 2 == 0 and scale > 1:
-                feat = nn.Conv(4 * self.num_feat, (3, 3), padding="SAME",
+                feat = nn.Conv(4 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
                                name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 2)
                 scale //= 2
                 stage += 1
             if scale == 3:
-                feat = nn.Conv(9 * self.num_feat, (3, 3), padding="SAME",
+                feat = nn.Conv(9 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
                                name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 3)
             elif scale != 1:
                 raise ValueError(f"unsupported upscale {self.upscale}")
-            out = nn.Conv(self.in_chans, (3, 3), padding="SAME", name="conv_last")(feat)
+            out = nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, name="conv_last")(feat)
         else:
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", name="conv_first")(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
             res = nn.Conv(
                 self.embed_dim, (3, 3), padding="SAME", name="conv_after_body"
             )(features(feat))
             res = res + feat
-            out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", name="conv_last")(res)
+            out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, name="conv_last")(res)
 
         out = out / self.img_range + mean
         out = out[:, : h_in * self.upscale, : w_in * self.upscale, :]

@@ -190,3 +190,23 @@ def test_weights_distance_loss():
     q = {"a": jnp.zeros((2, 2)), "b": jnp.zeros((3,))}
     v = float(weights_distance_loss(p, q, lambd=2.0))
     np.testing.assert_allclose(v, 2.0 * (1.0 + 0.0) / 2, atol=1e-7)
+
+
+def test_fused_sure_matches_closed_form_linear_model():
+    """get_loss('sure') fuses f(y), f(y+tau b) into one forward; for linear
+    f(y)=a*y and A=I the value must still match the closed form."""
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    # bypass physics A by testing through the sure pieces directly
+    from sei_tpu.losses.sure import sample_probe, sure_gaussian_loss_from_outputs
+
+    rng = np.random.default_rng(7)
+    y = jnp.asarray(rng.standard_normal((4, 3, 16, 16)).astype(np.float32))
+    a, sigma, tau = 0.7, 5 / 255.0, 1e-2
+    b = sample_probe(jax.random.PRNGKey(0), y, 0)
+    got = float(
+        sure_gaussian_loss_from_outputs(
+            y, a * y, a * (y + b * tau), b, _A_identity, sigma=sigma, tau=tau
+        )
+    )
+    want = float(jnp.mean((a * y - y) ** 2)) + 2 * sigma**2 * a - sigma**2 / 4
+    np.testing.assert_allclose(got, want, atol=5e-5)
