@@ -37,6 +37,10 @@ def main():
     physics = get_physics(task="deblurring", kernel="Gaussian_R2", noise_level=5)
     model = get_model(kind="Proposed", architecture="Transformer",
                       task="deblurring", init_input_size=48)
+    if os.environ.get("BENCH_BF16"):
+        import dataclasses
+
+        model.module = dataclasses.replace(model.module, dtype=jnp.bfloat16)
     loss_fn = get_loss(method="proposed", physics=physics, noise_level=5)
 
     # synthetic stand-in for the Div2K cache (same shapes as 256px training)

@@ -119,10 +119,37 @@ def main():
         write_image(os.path.join(args.out_dir, "psf.png"), k[None])
 
     # model application ------------------------------------------------------
-    apply = lambda y: model(y)
+    # Shape bucketing: val images vary in width (shorter side 256), and every
+    # new shape is a fresh XLA compile.  For trainable models we reflect-pad
+    # the measurement up to a multiple of 64 (one compile per bucket, ~6 for
+    # Div2K val) and crop the output back; physics-based baselines are cheap
+    # to compile and run at native shape.
+    from sei_tpu.models import Model as _TrainableModel
+
+    bucket = (
+        args.eval_pad_bucket
+        if (isinstance(model, _TrainableModel) and args.eval_pad_bucket > 0)
+        else None
+    )
+
+    def apply_model(yj):
+        if bucket is None:
+            return model(yj)
+        h, w = yj.shape[-2], yj.shape[-1]
+        ph = (-h) % bucket
+        pw = (-w) % bucket
+        if ph or pw:
+            yj = jnp.pad(
+                yj, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect"
+            )
+        out = model(yj)
+        f = args.sr_factor if args.task == "sr" else 1
+        return out[..., : h * f, : w * f]
+
+    apply = apply_model
     if args.noise2inverse:
         apply = noise2inverse_model(
-            lambda y: model(y),
+            apply_model,
             task=physics.task,
             kernel=physics.kernel,
             degradation_inverse_fn=physics.A_dagger,

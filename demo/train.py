@@ -121,6 +121,7 @@ def main():
         crop_training_pairs=args.Loss__crop_training_pairs,
         crop_size=args.Loss__crop_size,
         supervised_l1=args.supervised_l1,
+        sure_rate_hotfix=args.sure_rate_hotfix,
     )
     normal_rate_losses = None
     if (
@@ -202,11 +203,21 @@ def main():
             model.params,
         )
 
+    # --data_parallel_devices: the reference's DataParallel device list;
+    # here it selects how many mesh devices to shard the batch over.
+    mesh = None
+    if args.data_parallel_devices is not None:
+        from sei_tpu.parallel import make_mesh
+
+        n_dev = len(args.data_parallel_devices.split(","))
+        mesh = make_mesh(jax.devices()[:n_dev])
+
     trainer = Trainer(
         model=model,
         loss_fn=loss_fn,
         physics=physics,
         cache=cache,
+        mesh=mesh,
         batch_size=args.batch_size,
         epochs=epochs,
         lr=lr,

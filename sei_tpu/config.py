@@ -154,6 +154,10 @@ def add_test_args(parser: argparse.ArgumentParser):
                         action=BooleanOptionalAction, default=True)
     parser.add_argument("--memoize_gt", action=BooleanOptionalAction, default=False)
     parser.add_argument("--lpips_weights", type=str, default=None)
+    # TPU extra: reflect-pad eval inputs up to a multiple of this bucket so
+    # variable-width val images share compiles (0 = native shape per image;
+    # padding can move boundary pixels by <0.02 dB vs native).
+    parser.add_argument("--eval_pad_bucket", type=int, default=64)
 
 
 def default_epochs(dataset: str) -> int:

@@ -255,6 +255,7 @@ def get_loss(
     crop_size: int = 48,
     supervised_l1: bool = False,
     fixed_normal_rate: Optional[float] = None,
+    sure_rate_hotfix: bool = False,
 ) -> Callable:
     """Factory mirroring ref get_loss; returns loss(key, x, y, model)."""
     method, transforms = normalize_method(method, transforms)
@@ -282,5 +283,8 @@ def get_loss(
         xy_size_ratio=physics.rate if physics.task == "sr" else 1,
         supervised_l1=supervised_l1,
         fixed_normal_rate=fixed_normal_rate,
+        # explicit spelling of the reference's _TEMPORARY_HOTFIX env var
+        # (scales the SURE term by rate^2, ref src/losses/sure.py:68-74)
+        sure_rate_hotfix=float(physics.rate) if sure_rate_hotfix else None,
     )
     return cfg.build(physics.A)

@@ -51,6 +51,41 @@ def _env_flag(name: str, default: bool) -> bool:
     return v not in ("0", "false", "False", "")
 
 
+def _merge_restored(template, raw):
+    """Merge an orbax raw restore (dicts/lists) into a live optax structure.
+
+    Namedtuples come back as dicts keyed by field name, tuples as lists.
+    Entries missing from the checkpoint (e.g. the schedule state when the
+    resume run disables the scheduler, ref demo/train.py:213-230) keep the
+    freshly initialized template value - tolerant on purpose.
+    """
+    if raw is None:
+        return template
+    if hasattr(template, "_fields"):  # namedtuple
+        vals = {}
+        for f in template._fields:
+            r = raw.get(f) if isinstance(raw, dict) else None
+            vals[f] = _merge_restored(getattr(template, f), r)
+        return type(template)(**vals)
+    if isinstance(template, (tuple, list)):
+        if isinstance(raw, dict):  # orbax may key sequences as {'0': ...}
+            raw = [raw.get(str(i)) for i in range(len(template))]
+        raw = list(raw) + [None] * (len(template) - len(raw))
+        merged = [
+            _merge_restored(t, r) for t, r in zip(template, raw[: len(template)])
+        ]
+        return type(template)(merged) if isinstance(template, list) else tuple(merged)
+    if isinstance(template, dict):
+        return {
+            k: _merge_restored(v, raw.get(k) if isinstance(raw, dict) else None)
+            for k, v in template.items()
+        }
+    if raw is None or isinstance(raw, dict):
+        return template
+    arr = jnp.asarray(raw)
+    return arr if arr.shape == jnp.shape(template) else template
+
+
 @dataclasses.dataclass
 class Trainer:
     """Owns the compiled train step and the epoch loop."""
@@ -129,10 +164,14 @@ class Trainer:
             # no-op, but the tunneled-TPU relay executes sharding-committed
             # programs ~85x slower (31.7s vs 0.37s per step, round-1 probe6).
             params = jax.tree_util.tree_map(jnp.asarray, self.model.params)
+        opt_state = self.tx.init(params)
+        resumed = getattr(self, "_resume_opt_state", None)
+        if resumed is not None:
+            opt_state = _merge_restored(opt_state, resumed)
         return TrainState(
             step=jnp.asarray(self.start_epoch * self.steps_per_epoch, jnp.int32),
             params=params,
-            opt_state=self.tx.init(params),
+            opt_state=opt_state,
         )
 
     # -- the step -----------------------------------------------------------
@@ -260,8 +299,9 @@ class Trainer:
         """RESUME support (ref demo/train.py:213-230): restores epoch/params/
         optimizer; the caller should also pin --lr and disable the schedule."""
         mgr = CheckpointManager(os.path.dirname(path) or ".")
-        template = self._state_dict(self.init_state(), epoch=0)
-        data = mgr.restore(os.path.abspath(path), template)
+        data = mgr.restore(os.path.abspath(path))  # raw pytree, no template
         self.start_epoch = int(data["epoch"])
-        self.model.params = data["params"]
+        # params come back as a plain dict tree matching the flax structure
+        self.model.params = jax.tree_util.tree_map(jnp.asarray, data["params"])
+        self._resume_opt_state = data.get("opt_state")
         return data
