@@ -96,6 +96,12 @@ def main():
         rng=jax.random.PRNGKey(args.seed),
     )
 
+    if args.bf16 and args.ProposedModel__architecture == "Transformer":
+        import dataclasses as _dc
+        import jax.numpy as _jnp
+
+        model.module = _dc.replace(model.module, dtype=_jnp.bfloat16)
+
     if args.weights is not None:
         model.load_weights(get_weights(args.weights))
 

@@ -133,6 +133,8 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="capture a jax.profiler trace for the first steps")
+    parser.add_argument("--bf16", action=BooleanOptionalAction, default=False,
+                        help="bf16 compute dtype for the model (params stay f32)")
 
 
 def add_test_args(parser: argparse.ArgumentParser):

@@ -100,6 +100,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     dtype: Any = None
+    use_pallas: Optional[bool] = None  # None = auto (on for TPU backends)
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray]):
@@ -114,10 +115,6 @@ class WindowAttention(nn.Module):
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
         q = q * scale
 
-        attn = jnp.einsum(
-            "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
-        )
-
         table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(stddev=0.02),
@@ -131,16 +128,10 @@ class WindowAttention(nn.Module):
         onehot[np.arange(n * n), idx] = 1.0
         bias = jnp.asarray(onehot) @ table.astype(jnp.float32)  # (N*N, nh)
         bias = bias.reshape(n, n, nh).transpose(2, 0, 1)  # (nh, N, N)
-        attn = attn + bias[None].astype(attn.dtype)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            m = jnp.asarray(mask, dtype=attn.dtype)  # (nW, N, N)
-            attn = attn.reshape(b_ // nw, nw, nh, n, n) + m[None, :, None]
-            attn = attn.reshape(b_, nh, n, n)
+        from ..ops.attention import window_attention
 
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(v.dtype)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = window_attention(q, k, v, bias, mask, use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
         return nn.Dense(c, dtype=self.dtype, name="proj")(out)
 
@@ -170,6 +161,7 @@ class SwinBlock(nn.Module):
     drop_path: float
     qkv_bias: bool = True
     dtype: Any = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -190,6 +182,7 @@ class SwinBlock(nn.Module):
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             dtype=self.dtype,
+            use_pallas=self.use_pallas,
             name="attn",
         )(win, mask)
         y = window_reverse(win, ws, h, w)
@@ -215,6 +208,7 @@ class RSTB(nn.Module):
     qkv_bias: bool = True
     resi_connection: str = "1conv"
     dtype: Any = None
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
@@ -229,6 +223,7 @@ class RSTB(nn.Module):
                 drop_path=self.drop_paths[i],
                 qkv_bias=self.qkv_bias,
                 dtype=self.dtype,
+                use_pallas=self.use_pallas,
                 name=f"blocks_{i}",
             )(x, deterministic)
         if self.resi_connection == "1conv":
@@ -278,6 +273,8 @@ class SwinIR(nn.Module):
     num_feat: int = 64
     # compute dtype for matmuls/convs (params stay f32); bf16 on TPU
     dtype: Any = None
+    # fused Pallas window attention (None = auto: on for TPU backends)
+    use_pallas: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -317,6 +314,7 @@ class SwinIR(nn.Module):
                     qkv_bias=self.qkv_bias,
                     resi_connection=self.resi_connection,
                     dtype=self.dtype,
+                    use_pallas=self.use_pallas,
                     name=f"layers_{li}",
                 )(f, deterministic)
                 d0 += depth

@@ -192,7 +192,7 @@ def save_torch_state(path: str, state: Dict[str, Any]):
         if isinstance(v, dict):
             return {k: conv(x) for k, x in v.items()}
         if isinstance(v, np.ndarray):
-            return torch.from_numpy(np.ascontiguousarray(v))
+            return torch.from_numpy(np.array(v, copy=True))
         return v
 
     torch.save(conv(state), path)
