@@ -39,10 +39,12 @@ def main():
                       task="deblurring", init_input_size=48)
     # bf16 compute (f32 params/updates) is the production recipe: +40%
     # throughput on v5e.  BENCH_BF16=0 benchmarks the exact-f32 recipe.
-    if os.environ.get("BENCH_BF16", "1") != "0":
-        import dataclasses
+    import dataclasses
 
+    if os.environ.get("BENCH_BF16", "1") != "0":
         model.module = dataclasses.replace(model.module, dtype=jnp.bfloat16)
+    if os.environ.get("BENCH_REMAT"):
+        model.module = dataclasses.replace(model.module, remat=True)
     loss_fn = get_loss(method="proposed", physics=physics, noise_level=5)
 
     # synthetic stand-in for the Div2K cache (same shapes as 256px training)

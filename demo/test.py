@@ -132,10 +132,24 @@ def main():
         else None
     )
 
+    f_scale = args.sr_factor if args.task == "sr" else 1
+
     def apply_model(yj):
         if bucket is None:
             return model(yj)
         h, w = yj.shape[-2], yj.shape[-1]
+        if h > args.eval_tile_height:
+            # Full-resolution eval: strip tiling with halo keeps attention
+            # activation memory bounded (sei_tpu/parallel/tiling.py).
+            from sei_tpu.parallel.tiling import tiled_apply
+
+            n_tiles = max(2, -(-h // args.eval_tile_height))
+            strip = -(-h // n_tiles)
+            halo = min(64, (h - strip) // 2)
+            return tiled_apply(
+                lambda t: model(t), yj, n_tiles=n_tiles, halo=halo,
+                out_scale=f_scale,
+            )
         ph = (-h) % bucket
         pw = (-w) % bucket
         if ph or pw:
@@ -143,8 +157,7 @@ def main():
                 yj, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect"
             )
         out = model(yj)
-        f = args.sr_factor if args.task == "sr" else 1
-        return out[..., : h * f, : w * f]
+        return out[..., : h * f_scale, : w * f_scale]
 
     apply = apply_model
     if args.noise2inverse:

@@ -160,6 +160,9 @@ def add_test_args(parser: argparse.ArgumentParser):
     # variable-width val images share compiles (0 = native shape per image;
     # padding can move boundary pixels by <0.02 dB vs native).
     parser.add_argument("--eval_pad_bucket", type=int, default=64)
+    # strip-tile trainable-model eval above this height (halo 64); bounds
+    # attention activation memory for full-resolution (--no_resize) images
+    parser.add_argument("--eval_tile_height", type=int, default=768)
 
 
 def default_epochs(dataset: str) -> int:

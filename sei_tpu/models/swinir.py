@@ -209,12 +209,14 @@ class RSTB(nn.Module):
     resi_connection: str = "1conv"
     dtype: Any = None
     use_pallas: Optional[bool] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         res = x
+        block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if self.remat else SwinBlock
         for i in range(self.depth):
-            x = SwinBlock(
+            x = block_cls(
                 dim=self.dim,
                 num_heads=self.num_heads,
                 window_size=self.window_size,
@@ -273,8 +275,11 @@ class SwinIR(nn.Module):
     num_feat: int = 64
     # compute dtype for matmuls/convs (params stay f32); bf16 on TPU
     dtype: Any = None
-    # fused Pallas window attention (None = auto: on for TPU backends)
+    # fused Pallas window attention (None = env-gated; see ops/attention.py)
     use_pallas: Optional[bool] = None
+    # rematerialize each Swin block in backward: ~30% more flops, O(depth)
+    # less activation memory (needed for batch >8 at 48px on 16GB HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -315,6 +320,7 @@ class SwinIR(nn.Module):
                     resi_connection=self.resi_connection,
                     dtype=self.dtype,
                     use_pallas=self.use_pallas,
+                    remat=self.remat,
                     name=f"layers_{li}",
                 )(f, deterministic)
                 d0 += depth
