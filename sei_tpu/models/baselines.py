@@ -12,9 +12,6 @@ environment has no network egress; the reference downloads them).
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax

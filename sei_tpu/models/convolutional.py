@@ -19,9 +19,6 @@ NCHW to match the reference's tensors.  FFTs run in f32.
 
 from __future__ import annotations
 
-import math
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,7 @@ These require pretrained DRUNet weights (see models/pnp.py for gating).
 from __future__ import annotations
 
 import math
-from functools import partial
+
 from typing import Callable
 
 import jax

@@ -23,9 +23,8 @@ TPU-first choices:
 
 from __future__ import annotations
 
-import math
 from functools import lru_cache
-from typing import Any, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax

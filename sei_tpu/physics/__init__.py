@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
+
 from typing import Optional
 
 import jax

@@ -14,7 +14,7 @@ Parity with ref src/training.py:
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import jax
 import numpy as np

@@ -12,7 +12,7 @@ we express them per-step with ``steps_per_epoch``.
 
 from __future__ import annotations
 
-from typing import Optional
+
 
 import optax
 

@@ -21,7 +21,6 @@ import dataclasses
 import os
 import time
 from datetime import datetime
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
