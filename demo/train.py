@@ -239,6 +239,7 @@ def main():
         weights_distance_lambda=1.0 if args.weights_distance_loss else None,
         base_key=jax.random.PRNGKey(args.seed),
         normal_rate_losses=normal_rate_losses,
+        scan_steps=args.scan_steps,
     )
 
     if args.weights_distance_loss:

@@ -135,6 +135,8 @@ def add_train_args(parser: argparse.ArgumentParser):
                         help="capture a jax.profiler trace for the first steps")
     parser.add_argument("--bf16", action=BooleanOptionalAction, default=False,
                         help="bf16 compute dtype for the model (params stay f32)")
+    parser.add_argument("--scan_steps", type=int, default=1,
+                        help="train steps fused per device dispatch (lax.scan)")
 
 
 def add_test_args(parser: argparse.ArgumentParser):

@@ -243,6 +243,22 @@ def sample_train_batch(
     ck = jax.random.split(k_crop, batch_size)
     ys = crop_size
 
+    # MinSizePadding (ref src/crop.py:42-57): images smaller than the crop
+    # are constant-padded bottom/right so the crop always fits.
+    pad_yh = max(0, ys - y_sel.shape[-2])
+    pad_yw = max(0, ys - y_sel.shape[-1])
+    if pad_yh or pad_yw:
+        y_sel = jnp.pad(y_sel, ((0, 0), (0, 0), (0, pad_yh), (0, pad_yw)))
+        x_sel = jnp.pad(
+            x_sel,
+            (
+                (0, 0),
+                (0, 0),
+                (0, max(0, ys * rate - x_sel.shape[-2])),
+                (0, max(0, ys * rate - x_sel.shape[-1])),
+            ),
+        )
+
     def crop_one(x, y, h, w, k):
         # y-crop of ys within the true (h/rate, w/rate) region; x gets the
         # aligned (ys*rate) crop at offset*rate (ref src/crop.py:15-39).

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import csv
 import dataclasses
+import math
 import os
 import time
 from datetime import datetime
@@ -119,6 +120,10 @@ class Trainer:
     # auto-disabled there.  Env overrides: SEI_DONATE=0/1, SEI_CONSTRAIN=0/1.
     donate: Optional[bool] = None
     constrain_batch: Optional[bool] = None
+    # Steps fused per dispatch via lax.scan (1 = one step per call).  Fusing
+    # amortizes host->device dispatch latency (~3-5ms on the relay, less but
+    # nonzero on direct-attached chips); losses are returned per inner step.
+    scan_steps: int = 1
 
     def __post_init__(self):
         if self.mesh is None:
@@ -134,6 +139,10 @@ class Trainer:
             multi = self.mesh.devices.size > 1
             self.constrain_batch = _env_flag("SEI_CONSTRAIN", multi)
         self.steps_per_epoch = max(len(self.cache) // self.batch_size, 1)
+        if self.scan_steps > 1:
+            # clamp so an epoch is a whole number of dispatches
+            g = math.gcd(self.scan_steps, self.steps_per_epoch)
+            self.scan_steps = max(g, 1)
         schedule = (
             self.lr
             if self.disable_scheduler
@@ -213,7 +222,16 @@ class Trainer:
             )
             return new_state, loss
 
-        return jax.jit(step_fn, donate_argnums=(0,) if self.donate else ())
+        if self.scan_steps <= 1:
+            return jax.jit(step_fn, donate_argnums=(0,) if self.donate else ())
+
+        def multi_step_fn(state, cache, key):
+            def body(st, _):
+                return step_fn(st, cache, key)
+
+            return jax.lax.scan(body, state, None, length=self.scan_steps)
+
+        return jax.jit(multi_step_fn, donate_argnums=(0,) if self.donate else ())
 
     def _get_step(self, variant: int = 0):
         if variant not in self._compiled:
@@ -252,13 +270,13 @@ class Trainer:
         images_seen = 0
         for epoch in range(self.start_epoch, self.epochs):
             losses = []
-            for _ in range(self.steps_per_epoch):
+            for _ in range(self.steps_per_epoch // self.scan_steps):
                 variant = int(rng.integers(n_variants)) if n_variants > 1 else 0
                 step_fn = self._get_step(variant)
                 state, loss = step_fn(state, self.cache, self.base_key)
-                losses.append(loss)
-                images_seen += self.batch_size
-            epoch_loss = float(jnp.mean(jnp.stack(losses)))
+                losses.append(jnp.atleast_1d(loss))
+                images_seen += self.batch_size * self.scan_steps
+            epoch_loss = float(jnp.mean(jnp.concatenate(losses)))
             if log_every_epoch:
                 ts = datetime.now().strftime("%Y-%m-%d %H:%M:%S")
                 nd = len(str(self.epochs))

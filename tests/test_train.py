@@ -153,3 +153,40 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_scan_steps_trains_identically_shaped(tiny_setup):
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=8, epochs=4, lr=2e-3, crop_size=64, scan_steps=4,
+    )
+    # 8 imgs / batch 8 = 1 step per epoch -> scan clamps to gcd(4,1)=1
+    assert trainer.scan_steps == 1
+    trainer2 = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=2, epochs=4, lr=2e-3, crop_size=64, scan_steps=4,
+    )
+    assert trainer2.scan_steps == 4  # 4 steps/epoch, one dispatch per epoch
+    losses = []
+    trainer2.train(log_every_epoch=False,
+                   on_epoch_end=lambda e, s, l: losses.append(l))
+    assert len(losses) == 4 and losses[-1] < losses[0]
+
+
+def test_sample_batch_pads_small_images_to_crop(tiny_setup):
+    # reference MinSizePadding: crop larger than the image zero-pads
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics, size=48)
+    x, y = sample_train_batch(
+        cache, jax.random.PRNGKey(5), batch_size=2, crop_size=96
+    )
+    assert x.shape == (2, 3, 96, 96) and y.shape == (2, 3, 96, 96)
+    # bottom-right quadrant is the zero padding
+    assert float(jnp.abs(x[..., 80:, 80:]).max()) == 0.0
