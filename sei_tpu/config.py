@@ -89,7 +89,8 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--Loss__crop_size", type=int, default=48)
     parser.add_argument("--ProposedLoss__transforms", type=str,
                         default="Scaling_Transforms")
-    parser.add_argument("--ProposedLoss__stop_gradient",
+    # README alias: --stop_gradient / --no-stop_gradient (README.md:63)
+    parser.add_argument("--ProposedLoss__stop_gradient", "--stop_gradient",
                         action=BooleanOptionalAction, default=True)
     parser.add_argument("--ProposedLoss__sure_alternative", type=str, default=None)
     parser.add_argument("--ProposedLoss__alpha_tradeoff", type=float, default=1.0)

@@ -237,8 +237,9 @@ def get_model(
             kind, physics=physics, noise_level=noise_level, task=task, sr_factor=sr_factor
         )
     if kind == "BM3D":
-        raise NotImplementedError(
-            "BM3D requires the compiled bm3d wheel (not in this image); it is a "
-            "CPU-side baseline outside the TPU compute path (SURVEY.md 2.1)."
+        from .bm3d import bm3d_model
+
+        return FunctionalModel(
+            bm3d_model(physics, sigma_psd=noise_level / 255.0), kind
         )
     raise ValueError(f"Unknown model kind: {kind}")

@@ -93,3 +93,31 @@ def test_n2i_model_runs_for_deblurring():
     out = model(y)
     assert out.shape == y.shape
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_bm3d_denoise_quality():
+    from sei_tpu.metrics import psnr
+    from sei_tpu.models.bm3d import bm3d_denoise
+
+    rng = np.random.default_rng(0)
+    x = np.zeros((64, 64), np.float32)
+    x[16:48, 16:48] = 0.7
+    x[28:36, :] = 0.3
+    sigma = 25 / 255
+    z = x + sigma * rng.standard_normal((64, 64)).astype(np.float32)
+    den = np.asarray(bm3d_denoise(jnp.asarray(z), sigma))
+    assert float(psnr(den, x)) > float(psnr(z, x)) + 10.0
+
+
+def test_bm3d_deblur_improves_psnr():
+    from sei_tpu.metrics import psnr
+    from sei_tpu.models import get_model
+
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    rng = np.random.default_rng(1)
+    x = np.zeros((1, 3, 48, 48), np.float32)
+    x[..., 12:36, 12:36] = 0.8
+    y = np.asarray(phys.degrade(jnp.asarray(x), jax.random.PRNGKey(0)))
+    model = get_model(kind="BM3D", task="deblurring", physics=phys, noise_level=5)
+    out = np.asarray(model(jnp.asarray(y)))
+    assert float(psnr(out, x)) > float(psnr(y, x))
