@@ -237,6 +237,12 @@ def sample_train_batch(
     if fresh_measurements:
         assert physics is not None
         y_sel = physics.degrade(x_sel, k_noise)
+    if css:
+        # CSS swaps (x, y) -> (y, degrade_fresh(y)) on the FULL measurement
+        # before cropping (ref src/datasets/__init__.py:70-76 swaps in
+        # __getitem__, ahead of PrepareTrainingPairs).
+        assert physics is not None
+        x_sel, y_sel = y_sel, physics.degrade(y_sel, k_noise)
     h_sel = cache.heights[idx]
     w_sel = cache.widths[idx]
 
@@ -274,9 +280,4 @@ def sample_train_batch(
         return x_crop, y_crop
 
     x_b, y_b = jax.vmap(crop_one)(x_sel, y_sel, h_sel, w_sel, ck)
-
-    if css:
-        assert physics is not None
-        z = physics.degrade(y_b, k_noise)
-        return y_b, z
     return x_b, y_b

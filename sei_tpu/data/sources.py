@@ -120,7 +120,23 @@ class TomographyDataset(ImageSource):
         import h5py
 
         self._h5 = h5py.File(self.h5_path, "r")
-        self._key = "x_train" if split == "train" else "x_test"
+        # deepinv HDF5Dataset layouts vary by version; probe candidates.
+        candidates = (
+            ["x_train", "x_test"],
+            ["train_x", "test_x"],
+            ["x/train", "x/test"],
+        )
+        self._key = None
+        for train_k, test_k in candidates:
+            k = train_k if split == "train" else test_k
+            if k in self._h5:
+                self._key = k
+                break
+        if self._key is None:
+            raise KeyError(
+                f"no known CT dataset keys in {self.h5_path}: "
+                f"{list(self._h5.keys())}"
+            )
         size = self._h5[self._key].shape[0]
         assert size == (4992 if split == "train" else 100), size
         self.split_size = size
