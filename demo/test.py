@@ -134,9 +134,16 @@ def main():
 
     f_scale = args.sr_factor if args.task == "sr" else 1
 
+    # jit the forward once; shapes are bucketed so the compile count is small
+    if isinstance(model, _TrainableModel):
+        _jitted = jax.jit(lambda p, y: model.apply_fn(p, y))
+        model_fwd = lambda y: _jitted(model.params, y)
+    else:
+        model_fwd = jax.jit(model.fn)
+
     def apply_model(yj):
         if bucket is None:
-            return model(yj)
+            return model_fwd(yj)
         h, w = yj.shape[-2], yj.shape[-1]
         if h > args.eval_tile_height:
             # Full-resolution eval: strip tiling with halo keeps attention
@@ -147,7 +154,7 @@ def main():
             strip = -(-h // n_tiles)
             halo = min(64, (h - strip) // 2)
             return tiled_apply(
-                lambda t: model(t), yj, n_tiles=n_tiles, halo=halo,
+                model_fwd, yj, n_tiles=n_tiles, halo=halo,
                 out_scale=f_scale,
             )
         ph = (-h) % bucket
@@ -156,7 +163,7 @@ def main():
             yj = jnp.pad(
                 yj, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="reflect"
             )
-        out = model(yj)
+        out = model_fwd(yj)
         return out[..., : h * f_scale, : w * f_scale]
 
     apply = apply_model

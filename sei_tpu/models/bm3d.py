@@ -187,9 +187,9 @@ def bm3d_deblur(y: jnp.ndarray, kernel: jnp.ndarray, sigma: float,
     yf = jnp.fft.rfft2(y, axes=(-2, -1))
     ri = jnp.conj(otf) / (jnp.abs(otf) ** 2 + reg)
     x_ri = jnp.fft.irfft2(ri * yf, s=shape, axes=(-2, -1))
-    # effective noise amplification of the regularized inverse
+    # effective noise amplification of the regularized inverse (traced-safe)
     amp = jnp.sqrt(jnp.mean(jnp.abs(ri) ** 2))
-    sigma_eff = float(sigma) * amp
+    sigma_eff = sigma * amp
 
     def per_image(img):
         return bm3d_rgb(img, sigma_eff)
