@@ -96,15 +96,16 @@ def main():
             else:
                 seed = None
             rate = physics.rate if physics.task == "sr" else 1
-            # crop x so its size is an exact rate multiple (ref TestDataset)
-            h = (x.shape[-2] // rate) * rate
-            w = (x.shape[-1] // rate) * rate
-            x = x[..., :h, :w]
+            # degrade the FULL image (ref SyntheticDataset), THEN crop x so
+            # x.shape == y.shape * rate (ref TestDataset crops after
+            # synthesis, src/datasets/__init__.py:119-127).
             xj = jnp.asarray(x)[None]
             key = base_key if seed is not None else jax.random.fold_in(
                 base_key, np.random.randint(2**31)
             )
             y = physics.randomly_degrade(xj, key, seed=seed)[0]
+            if x.shape[-2:] != tuple(np.array(y.shape[-2:]) * rate):
+                x = x[..., : y.shape[-2] * rate, : y.shape[-1] * rate]
             if args.noise2inverse and physics.task == "deblurring":
                 # even-size fix (ref src/datasets/__init__.py:112-117)
                 y = y[:, : 2 * (y.shape[1] // 2), : 2 * (y.shape[2] // 2)]
