@@ -1,0 +1,105 @@
+"""CLI flag-surface compatibility: the reference README's commands parse.
+
+Guards the alias layer (SURVEY.md section 2.5): README spellings
+(--method sup/ei-shift/ei-rotate, --model_kind swinir/dip/pnp/bm3d/up/id,
+--no-stop_gradient, --download, --device cuda:0) and the code spellings both
+work.
+"""
+
+import pytest
+
+from sei_tpu.config import DefaultArgParser, add_test_args, add_train_args
+from sei_tpu.losses import normalize_method
+from sei_tpu.models import KIND_ALIASES, KINDS
+
+
+def _train_parser():
+    p = DefaultArgParser()
+    add_train_args(p)
+    return p
+
+
+def _test_parser():
+    p = DefaultArgParser()
+    add_test_args(p)
+    return p
+
+
+def test_readme_train_command_parses():
+    # README.md:49-56 (minus --download's network effect)
+    args = _train_parser().parse_args(
+        [
+            "--device", "cpu",
+            "--method", "proposed",
+            "--task", "deblurring",
+            "--kernel", "Gaussian_R2",
+            "--out_dir", "/tmp/x",
+        ]
+    )
+    assert args.method == "proposed" and args.kernel == "Gaussian_R2"
+
+
+@pytest.mark.parametrize("method", ["proposed", "sup", "css", "ei-shift", "ei-rotate"])
+def test_readme_method_spellings(method):
+    args = _train_parser().parse_args(["--task", "deblurring", "--method", method])
+    m, t = normalize_method(args.method, args.ProposedLoss__transforms)
+    assert m in ("proposed", "supervised", "css")
+    if method == "ei-shift":
+        assert t == "Shifts"
+    if method == "ei-rotate":
+        assert t == "Rotations"
+
+
+def test_readme_no_stop_gradient_alias():
+    args = _train_parser().parse_args(
+        ["--task", "deblurring", "--no-stop_gradient"]
+    )
+    assert args.ProposedLoss__stop_gradient is False
+
+
+def test_readme_test_command_parses():
+    # README.md:76-80
+    args = _test_parser().parse_args(
+        [
+            "--device", "cpu",
+            "--task", "deblurring",
+            "--kernel", "Gaussian_R2",
+            "--weights", "Div2K-Train_Deblurring_Gaussian_R2_Noise5_SEI",
+        ]
+    )
+    assert args.weights.startswith("Div2K-Train")
+
+
+@pytest.mark.parametrize("kind", ["swinir", "dip", "pnp", "bm3d", "up", "id"])
+def test_readme_model_kind_spellings(kind):
+    assert KIND_ALIASES[kind] in KINDS
+    args = _test_parser().parse_args(["--task", "deblurring", "--model_kind", kind])
+    assert args.model_kind == kind
+
+
+def test_reference_namespaced_flags_exist():
+    # the ClassName__param surface from ref src/settings.py:4-66
+    args = _train_parser().parse_args(
+        [
+            "--task", "sr", "--sr_factor", "2",
+            "--GroundTruthDataset__size", "128",
+            "--SyntheticDataset__unique_seeds",
+            "--PrepareTrainingPairs__crop_size", "96",
+            "--ProposedModel__architecture", "Convolutional",
+            "--ConvolutionalModel__hidden_channels", "16",
+            "--ScalingTransform__kind", "normal",
+            "--Loss__crop_size", "24",
+            "--SyntheticDataset__deterministic_measurements",
+            "--physics_true_adjoint",
+            "--no-physics_v2",
+        ]
+    )
+    assert args.GroundTruthDataset__size == 128
+    assert args.physics_v2 is False
+
+
+def test_no_resize_mutex():
+    args = _test_parser().parse_args(
+        ["--task", "deblurring", "--GroundTruthDataset__no_resize"]
+    )
+    assert args.GroundTruthDataset__size is None
