@@ -116,3 +116,20 @@ def test_swinir_droppath_training_mode(swinir_deblur):
     rng = jax.random.PRNGKey(3)
     out = swinir_deblur.apply_fn(swinir_deblur.params, y, train=True, rng=rng)
     assert out.shape == y.shape and bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_swinir_scan_blocks_equals_loop():
+    from sei_tpu.models.swinir import SwinIR, stack_params_for_scan
+
+    loop = SwinIR(embed_dim=12, depths=(2, 4), num_heads=(2, 2), window_size=8,
+                  drop_path_rate=0.0, upsampler=None)
+    scan = SwinIR(embed_dim=12, depths=(2, 4), num_heads=(2, 2), window_size=8,
+                  drop_path_rate=0.0, upsampler=None, scan_blocks=True)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 16, 16), dtype=np.float32))
+    p_loop = loop.init(jax.random.PRNGKey(0), x)["params"]
+    p_scan = stack_params_for_scan(p_loop)
+    out_loop = loop.apply({"params": p_loop}, x)
+    out_scan = scan.apply({"params": p_scan}, x)
+    np.testing.assert_allclose(
+        np.asarray(out_loop), np.asarray(out_scan), atol=1e-5
+    )
