@@ -82,28 +82,48 @@ def shift(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.roll(x, (sh, sw), axis=(-2, -1))
 
 
-def _bilinear_rotate(x: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
-    """Rotate (..., H, W) by theta radians about the center, bilinear, zeros."""
+def rotate_image(
+    x: jnp.ndarray, angle_deg: jnp.ndarray, mode: str = "nearest"
+) -> jnp.ndarray:
+    """torchvision-parity rotation of (..., H, W) about the image center.
+
+    Replicates ``torchvision.transforms.functional.rotate(img, angle)``
+    exactly (counter-clockwise degrees, expand=False, fill=0, default
+    center): the inverse affine map from torchvision's
+    ``_get_inverse_affine_matrix`` (pure rotation: rot = -angle) applied on
+    the centered pixel grid with the half-pixel offset d=0.5 of
+    ``_gen_affine_grid``, then grid_sample semantics with
+    ``align_corners=False`` and ``padding_mode="zeros"``.  deepinv v0.2.0's
+    ``Rotate`` (consumed at ref src/losses/__init__.py:86-94) calls this
+    torchvision function with its default interpolation, which is NEAREST.
+    """
     h, w = x.shape[-2], x.shape[-1]
-    yy, xx = jnp.meshgrid(
-        jnp.arange(h, dtype=x.dtype), jnp.arange(w, dtype=x.dtype), indexing="ij"
-    )
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ct, st = jnp.cos(theta), jnp.sin(theta)
-    sx = ct * (xx - cx) + st * (yy - cy) + cx
-    sy = -st * (xx - cx) + ct * (yy - cy) + cy
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    tx = sx - x0
-    ty = sy - y0
+    dt = x.dtype
+    # centered pixel coords with torchvision's d=0.5 offset
+    px = jnp.arange(w, dtype=dt) - (w * 0.5 - 0.5)
+    py = jnp.arange(h, dtype=dt) - (h * 0.5 - 0.5)
+    yy, xx = jnp.meshgrid(py, px, indexing="ij")
+    rot = -angle_deg * (jnp.pi / 180.0)  # torchvision passes -angle
+    ct, st = jnp.cos(rot), jnp.sin(rot)
+    # inverse matrix [[cos, sin, 0], [-sin, cos, 0]] applied to (px, py)
+    sx = ct * xx + st * yy + (w * 0.5 - 0.5)
+    sy = -st * xx + ct * yy + (h * 0.5 - 0.5)
 
     def gather(ix, iy):
         inb = (ix >= 0) & (ix < w) & (iy >= 0) & (iy < h)
         ixc = jnp.clip(ix, 0, w - 1).astype(jnp.int32)
         iyc = jnp.clip(iy, 0, h - 1).astype(jnp.int32)
         v = x[..., iyc, ixc]
-        return jnp.where(inb, v, 0.0)
+        return jnp.where(inb, v, jnp.zeros((), dt))
 
+    if mode == "nearest":
+        # grid_sample 'nearest' rounds the unnormalized coord half-up via
+        # floor(c + 0.5) (ATen's compute_coordinates + nearest rounding)
+        return gather(jnp.floor(sx + 0.5), jnp.floor(sy + 0.5))
+    if mode != "bilinear":
+        raise ValueError(f"Unknown interpolation: {mode}")
+    x0, y0 = jnp.floor(sx), jnp.floor(sy)
+    tx, ty = sx - x0, sy - y0
     v00 = gather(x0, y0)
     v01 = gather(x0 + 1, y0)
     v10 = gather(x0, y0 + 1)
@@ -113,15 +133,23 @@ def _bilinear_rotate(x: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
     return top * (1 - ty) + bot * ty
 
 
-def rotate(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
-    """Random rotation by a uniform integer degree in [0, 360) (EI-rotate).
+def sample_rotate_angle(key: jax.Array) -> jnp.ndarray:
+    """deepinv v0.2.0 Rotate angle draw: permutation of arange(0,360)[1:],
+    first entry — i.e. uniform over the 359 NONZERO integer degrees."""
+    return jax.random.randint(key, (), 1, 360)
 
-    The reference uses deepinv.transform.Rotate (arbitrary-angle rotation);
-    we sample whole degrees and interpolate bilinearly with zero fill.
+
+def rotate(key: jax.Array, x: jnp.ndarray, mode: str = "nearest") -> jnp.ndarray:
+    """Random rotation: one integer degree, uniform over {1..359}, for the
+    whole batch (EI-rotate baseline).
+
+    deepinv v0.2.0 ``Rotate`` with group_size=360 draws a permutation of
+    ``arange(0, 360)[1:]`` and takes the first entry — i.e. uniform over the
+    359 nonzero integer degrees, one angle shared by the batch — then calls
+    torchvision rotate with default (NEAREST) interpolation.
     """
-    deg = jax.random.randint(key, (), 0, 360).astype(x.dtype)
-    theta = deg * (jnp.pi / 180.0)
-    return _bilinear_rotate(x, theta)
+    deg = sample_rotate_angle(key).astype(x.dtype)
+    return rotate_image(x, deg, mode=mode)
 
 
 def combined(transforms: Sequence[Callable]) -> Callable:
