@@ -35,6 +35,30 @@ def make_drunet_denoiser(weights_path: str):
     return denoise
 
 
+def make_diffunet_denoiser(weights_path: str):
+    """deepinv DiffUNet denoiser interface from a guided-diffusion ckpt
+    (the reference's DiffPIR_DiffUNet denoiser, ref src/models/diffpir.py:20-25).
+    """
+    from .diffunet import (
+        DiffUNet,
+        diffunet_config_from_state_dict,
+        diffunet_denoise,
+        torch_diffunet_to_flax,
+    )
+    from .torch_io import load_torch_file
+
+    sd = load_torch_file(weights_path)
+    cfg = diffunet_config_from_state_dict(sd)
+    params = torch_diffunet_to_flax(sd)
+    net = DiffUNet(cfg=cfg)
+    apply_fn = lambda p, x, t: net.apply({"params": p}, x, t)
+
+    def denoise(x, sigma):
+        return diffunet_denoise(apply_fn, params, x, sigma)
+
+    return denoise
+
+
 def _prox_l2_blur(z, y, kernel, gamma):
     """argmin_x ||A x - y||^2 + gamma ||x - z||^2 for circular blur (FFT)."""
     shape = z.shape[-2:]
@@ -178,14 +202,17 @@ def build_denoiser_baseline(kind, *, weights_path, physics, noise_level, task,
                             sr_factor):
     from . import FunctionalModel
 
-    denoiser = make_drunet_denoiser(weights_path)
+    if kind == "DiffPIR_DiffUNet":
+        # guided-diffusion UNet denoiser (ref src/models/diffpir.py:20-25);
+        # reflect-pad handled by the caller as in the reference
+        denoiser = make_diffunet_denoiser(weights_path)
+    else:
+        denoiser = make_drunet_denoiser(weights_path)
     sigma = noise_level / 255.0
 
     if kind == "PlugAndPlay":
         fn = lambda y: dpir_hqs(y, physics, denoiser, noise_level_img=sigma)
     elif kind in ("DiffPIR_DRUNet", "DiffPIR_DiffUNet"):
-        # DiffUNet variant would need the diffusion UNet; DRUNet is used for
-        # both here (the DiffUNet checkpoint is another egress-gated asset).
         fn = lambda y: diffpir(y, physics, denoiser, noise_level_img=sigma)
     elif kind == "DPS":
         fn = lambda y: dps(y, physics, denoiser)

@@ -14,12 +14,20 @@ import os
 
 
 def get_denoiser_model(kind, *, physics, noise_level, task, sr_factor):
-    weights = os.environ.get("SEI_DRUNET_WEIGHTS")
+    if kind == "DiffPIR_DiffUNet":
+        weights = os.environ.get("SEI_DIFFUNET_WEIGHTS")
+        needed = (
+            "a guided-diffusion UNet checkpoint (e.g. diffusion_ffhq_10m.pt) "
+            "via SEI_DIFFUNET_WEIGHTS"
+        )
+    else:
+        weights = os.environ.get("SEI_DRUNET_WEIGHTS")
+        needed = "a local drunet_color.pth via SEI_DRUNET_WEIGHTS"
     if not weights or not os.path.exists(weights):
         raise NotImplementedError(
-            f"{kind} needs a pretrained DRUNet: set SEI_DRUNET_WEIGHTS to a local "
-            "drunet_color.pth (no network egress in this environment; the "
-            "reference downloads it via deepinv)."
+            f"{kind} needs a pretrained denoiser: set {needed} (no network "
+            "egress in this environment; the reference downloads weights via "
+            "deepinv)."
         )
     from .denoiser_solvers import build_denoiser_baseline
 

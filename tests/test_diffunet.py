@@ -1,0 +1,207 @@
+"""DiffUNet (guided-diffusion UNet) architecture + converter tests.
+
+The reference's DiffPIR_DiffUNet consumes deepinv's DiffUNet = the OpenAI
+guided-diffusion UNetModel with the DiffPIR FFHQ checkpoint
+(ref src/models/diffpir.py:11-25).  We vendor a programmatic generator of
+that checkpoint's exact state_dict layout (module tree of UNetModel:
+time_embed / input_blocks.{i}.{j} / middle_block.{j} / output_blocks.{i}.{j}
+/ out, with Downsample convs at .0.op and Upsample convs at .{j}.conv) and
+assert the converter consumes every key, fills the flax tree exactly, and
+that the architecture hyper-parameters are inferred from shapes alone.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sei_tpu.models.diffunet import (
+    DiffUNet,
+    DiffUNetConfig,
+    diffunet_config_from_state_dict,
+    diffunet_denoise,
+    torch_diffunet_to_flax,
+)
+
+FFHQ = DiffUNetConfig(
+    in_channels=3,
+    out_channels=6,
+    model_channels=128,
+    num_res_blocks=1,
+    channel_mult=(1, 1, 2, 2, 4, 4),
+    attention_ds=(16,),
+    num_head_channels=64,
+    use_scale_shift_norm=True,
+)
+
+TINY = DiffUNetConfig(
+    in_channels=3,
+    out_channels=6,
+    model_channels=32,
+    num_res_blocks=1,
+    channel_mult=(1, 2),
+    attention_ds=(2,),
+    num_head_channels=16,
+    use_scale_shift_norm=True,
+)
+
+
+def guided_diffusion_inventory(cfg: DiffUNetConfig):
+    """(name -> shape) inventory of a guided-diffusion UNetModel state_dict."""
+    inv = {}
+    ch0 = cfg.model_channels
+    emb_ch = 4 * ch0
+
+    def conv(name, cin, cout, k=3):
+        inv[f"{name}.weight"] = (cout, cin, k, k)
+        inv[f"{name}.bias"] = (cout,)
+
+    def conv1d(name, cin, cout):
+        inv[f"{name}.weight"] = (cout, cin, 1)
+        inv[f"{name}.bias"] = (cout,)
+
+    def dense(name, cin, cout):
+        inv[f"{name}.weight"] = (cout, cin)
+        inv[f"{name}.bias"] = (cout,)
+
+    def norm(name, c):
+        inv[f"{name}.weight"] = (c,)
+        inv[f"{name}.bias"] = (c,)
+
+    def resblock(base, cin, cout):
+        norm(f"{base}.in_layers.0", cin)
+        conv(f"{base}.in_layers.2", cin, cout)
+        dense(
+            f"{base}.emb_layers.1",
+            emb_ch,
+            2 * cout if cfg.use_scale_shift_norm else cout,
+        )
+        norm(f"{base}.out_layers.0", cout)
+        conv(f"{base}.out_layers.3", cout, cout)
+        if cin != cout:
+            conv(f"{base}.skip_connection", cin, cout, k=1)
+
+    def attnblock(base, c):
+        norm(f"{base}.norm", c)
+        conv1d(f"{base}.qkv", c, 3 * c)
+        conv1d(f"{base}.proj_out", c, c)
+
+    dense("time_embed.0", ch0, emb_ch)
+    dense("time_embed.2", emb_ch, emb_ch)
+    conv("input_blocks.0.0", cfg.in_channels, ch0)
+
+    chans = [ch0]
+    ch, ds, bi = ch0, 1, 1
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            resblock(f"input_blocks.{bi}.0", ch, mult * ch0)
+            ch = mult * ch0
+            if ds in cfg.attention_ds:
+                attnblock(f"input_blocks.{bi}.1", ch)
+            chans.append(ch)
+            bi += 1
+        if level != len(cfg.channel_mult) - 1:
+            conv(f"input_blocks.{bi}.0.op", ch, ch)
+            chans.append(ch)
+            bi += 1
+            ds *= 2
+
+    resblock("middle_block.0", ch, ch)
+    attnblock("middle_block.1", ch)
+    resblock("middle_block.2", ch, ch)
+
+    bi = 0
+    for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+        for i in range(cfg.num_res_blocks + 1):
+            ich = chans.pop()
+            resblock(f"output_blocks.{bi}.0", ch + ich, mult * ch0)
+            ch = mult * ch0
+            sub = 1
+            if ds in cfg.attention_ds:
+                attnblock(f"output_blocks.{bi}.{sub}", ch)
+                sub += 1
+            if level and i == cfg.num_res_blocks:
+                conv(f"output_blocks.{bi}.{sub}.conv", ch, ch)
+                ds //= 2
+            bi += 1
+
+    norm("out.0", ch0 * cfg.channel_mult[0])
+    conv("out.2", ch0 * cfg.channel_mult[0], cfg.out_channels)
+    return inv
+
+
+def tree_shapes(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(tree_shapes(v, prefix + (k,)))
+        else:
+            out["/".join(prefix + (k,))] = tuple(np.shape(v))
+    return out
+
+
+@pytest.mark.parametrize("cfg", [TINY, FFHQ], ids=["tiny", "ffhq_10m"])
+def test_converter_fills_flax_tree_exactly(cfg):
+    inv = guided_diffusion_inventory(cfg)
+    rng = np.random.default_rng(0)
+    sd = {k: rng.standard_normal(s).astype(np.float32) * 0.02 for k, s in inv.items()}
+
+    converted = torch_diffunet_to_flax(sd)
+
+    module = DiffUNet(cfg=cfg)
+    size = 8 * max(cfg.attention_ds) if cfg is TINY else 64
+    init = jax.eval_shape(
+        lambda: module.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.in_channels, size, size), jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+        )
+    )["params"]
+
+    got, want = tree_shapes(converted), tree_shapes(init)
+    assert got == want, (
+        f"missing: {sorted(set(want) - set(got))[:8]}\n"
+        f"extra:   {sorted(set(got) - set(want))[:8]}\n"
+        f"shape:   "
+        f"{[(k, got[k], want[k]) for k in set(got) & set(want) if got[k] != want[k]][:8]}"
+    )
+
+
+@pytest.mark.parametrize("cfg", [TINY, FFHQ], ids=["tiny", "ffhq_10m"])
+def test_config_inferred_from_state_dict(cfg):
+    import dataclasses
+
+    inv = guided_diffusion_inventory(cfg)
+    sd = {k: np.zeros(s, np.float32) for k, s in inv.items()}
+    inferred = diffunet_config_from_state_dict(sd)
+    # num_head_channels leaves no trace in the state_dict; inference
+    # defaults it to the published checkpoints' 64
+    assert dataclasses.replace(inferred, num_head_channels=cfg.num_head_channels) == cfg
+
+
+def test_forward_and_denoise_finite():
+    inv = guided_diffusion_inventory(TINY)
+    rng = np.random.default_rng(1)
+    sd = {k: rng.standard_normal(s).astype(np.float32) * 0.02 for k, s in inv.items()}
+    params = torch_diffunet_to_flax(sd)
+    module = DiffUNet(cfg=TINY)
+
+    x = jnp.asarray(rng.random((2, 3, 16, 16)), jnp.float32)
+    out = module.apply({"params": params}, x, jnp.zeros((2,), jnp.int32))
+    assert out.shape == (2, 6, 16, 16)
+    assert bool(jnp.isfinite(out).all())
+
+    den = diffunet_denoise(
+        lambda p, xx, t: module.apply({"params": p}, xx, t), params, x, 0.1
+    )
+    assert den.shape == (2, 3, 16, 16)
+    assert bool(jnp.isfinite(den).all())
+
+
+def test_unknown_key_fails_loudly():
+    inv = guided_diffusion_inventory(TINY)
+    sd = {k: np.zeros(s, np.float32) for k, s in inv.items()}
+    sd["input_blocks.1.0.bogus.weight"] = np.zeros((1,), np.float32)
+    with pytest.raises(ValueError, match="unmapped"):
+        torch_diffunet_to_flax(sd)
