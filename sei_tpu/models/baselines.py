@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..ops.resize import resize
@@ -87,24 +88,62 @@ def tv_model(physics, *, lambd: float | None = None, max_iter: int = 300):
 # ---------------------------------------------------------------------------
 
 
-def _conv_decoder_apply(params, z, *, channels, out_channels):
-    """ConvDecoder forward: [upsample-bilinear x2 -> conv3x3 -> relu -> norm]*k."""
+def conv_decoder_sizes(in_size, out_size, layers):
+    """deepinv ConvDecoder's geometric size schedule: layers-2 intermediate
+    sizes interpolated as ceil(scale^n * in_size), then the output size."""
+    sx = (out_size[0] / in_size[0]) ** (1.0 / (layers - 1))
+    sy = (out_size[1] / in_size[1]) ** (1.0 / (layers - 1))
+    hidden = [
+        (
+            int(np.ceil(sx**n * in_size[0])),
+            int(np.ceil(sy**n * in_size[1])),
+        )
+        for n in range(1, layers - 1)
+    ]
+    return hidden + [tuple(out_size)]
+
+
+def _nearest_resize_torch(x, size):
+    """torch nn.Upsample(mode="nearest") parity: src = floor(i * in / out)."""
+    h_in, w_in = x.shape[-2], x.shape[-1]
+    h_out, w_out = size
+    iy = np.floor(np.arange(h_out) * (h_in / h_out)).astype(np.int32)
+    ix = np.floor(np.arange(w_out) * (w_in / w_out)).astype(np.int32)
+    return x[..., iy, :][..., ix]
+
+
+def _batch_norm_train(x, scale, bias, eps=1e-5):
+    """BatchNorm2d in train mode (batch statistics; DIP never runs eval)."""
+    mean = x.mean(axis=(0, 2, 3), keepdims=True)
+    var = x.var(axis=(0, 2, 3), keepdims=True)
+    y = (x - mean) * jax.lax.rsqrt(var + eps)
+    return y * scale[None, :, None, None] + bias[None, :, None, None]
+
+
+def _conv_decoder_apply(params, z, sizes):
+    """deepinv ConvDecoder forward (deepinv/models/convdecoder.py, consumed
+    at ref src/models/dip.py:36-39): per block upsample-nearest to the next
+    scheduled size -> conv3x3 -> ReLU -> BatchNorm; then one extra
+    conv3x3 -> ReLU -> BatchNorm at full size, and a linear 1x1 head."""
     x = z
-    n = len(params["convs"])
-    for i, w in enumerate(params["convs"]):
-        last = i == n - 1
-        if not last:
-            b, c, h, wd = x.shape
-            x = jax.image.resize(x, (b, c, h * 2, wd * 2), method="bilinear")
-        x = jax.lax.conv_general_dilated(
-            x, w["kernel"], (1, 1), "SAME", dimension_numbers=("NCHW", "OIHW", "NCHW")
+
+    def conv(x, w, k):
+        pad = "SAME" if k == 3 else "VALID"
+        return jax.lax.conv_general_dilated(
+            x, w["kernel"], (1, 1), pad,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
         ) + w["bias"][None, :, None, None]
-        if not last:
-            x = jax.nn.relu(x)
-            mean = x.mean(axis=(0, 2, 3), keepdims=True)
-            var = x.var(axis=(0, 2, 3), keepdims=True)
-            x = (x - mean) * jax.lax.rsqrt(var + 1e-5)
-    return jax.nn.sigmoid(x)
+
+    for i, size in enumerate(sizes):
+        x = _nearest_resize_torch(x, size)
+        x = conv(x, params["convs"][i], 3)
+        x = jax.nn.relu(x)
+        x = _batch_norm_train(x, params["bn_scale"][i], params["bn_bias"][i])
+    i = len(sizes)
+    x = conv(x, params["convs"][i], 3)
+    x = jax.nn.relu(x)
+    x = _batch_norm_train(x, params["bn_scale"][i], params["bn_bias"][i])
+    return conv(x, params["head"], 1)
 
 
 def dip_model(
@@ -112,39 +151,53 @@ def dip_model(
     *,
     iterations: int = 1000,
     sr_factor: int | None = None,
-    channels: int = 128,
-    depth: int = 5,
-    lr: float = 1e-2,
+    channels: int = 32,
+    layers: int = 7,
+    in_size: tuple = (16, 16),
+    lr: float = 5e-3,
 ):
     """Deep-image-prior reconstruction: per-image inner optimization.
 
-    A fresh random decoder is fit to each measurement by minimizing
-    ||A(f(z)) - y||^2 over the decoder weights (ref src/models/dip.py:8-50).
-    The inner Adam loop runs under lax.fori_loop inside one jitted graph.
+    deepinv-faithful: a fresh ConvDecoder (geometric nearest-upsample
+    schedule from ``in_size`` to the output size over ``layers`` blocks,
+    channels=32, Adam lr 5e-3, uniform(0, 0.1) latent) is fit to each
+    measurement by minimizing ||A(f(z)) - y||^2 (ref src/models/dip.py:8-50
+    with deepinv's ConvDecoder + DeepImagePrior defaults).  The inner Adam
+    loop runs under lax.fori_loop inside one jitted graph.
     """
 
     def solve(y, key=None):
         key = jax.random.PRNGKey(0) if key is None else key
         rate = sr_factor if (sr_factor and physics.task == "sr") else 1
         out_h, out_w = y.shape[-2] * rate, y.shape[-1] * rate
-        scale_steps = depth - 1
-        zh, zw = out_h // (2**scale_steps), out_w // (2**scale_steps)
+        sizes = conv_decoder_sizes(in_size, (out_h, out_w), layers)
         k1, k2 = jax.random.split(key)
-        z = jax.random.uniform(k1, (y.shape[0], channels, zh, zw)) * 0.1
+        z = jax.random.uniform(k1, (y.shape[0], channels, *in_size)) * 0.1
 
-        keys = jax.random.split(k2, depth)
+        n_convs = len(sizes) + 1
+        keys = jax.random.split(k2, n_convs + 1)
         convs = []
-        for i in range(depth):
-            cin = channels
-            cout = 3 if i == depth - 1 else channels
-            w = jax.random.normal(keys[i], (cout, cin, 3, 3)) * jnp.sqrt(2.0 / (cin * 9))
-            convs.append({"kernel": w, "bias": jnp.zeros((cout,))})
-        params = {"convs": convs}
+        for i in range(n_convs):
+            w = jax.random.normal(keys[i], (channels, channels, 3, 3)) * jnp.sqrt(
+                2.0 / (channels * 9)
+            )
+            convs.append({"kernel": w, "bias": jnp.zeros((channels,))})
+        head = {
+            "kernel": jax.random.normal(keys[-1], (3, channels, 1, 1))
+            * jnp.sqrt(2.0 / channels),
+            "bias": jnp.zeros((3,)),
+        }
+        params = {
+            "convs": convs,
+            "head": head,
+            "bn_scale": [jnp.ones((channels,)) for _ in range(n_convs)],
+            "bn_bias": [jnp.zeros((channels,)) for _ in range(n_convs)],
+        }
 
         opt = optax.adam(lr)
 
         def loss_fn(p):
-            x = _conv_decoder_apply(p, z, channels=channels, out_channels=3)
+            x = _conv_decoder_apply(p, z, sizes)
             r = physics.A(x) - y
             return jnp.mean(r * r)
 
@@ -155,6 +208,6 @@ def dip_model(
             return optax.apply_updates(p, updates), opt_state
 
         params, _ = jax.lax.fori_loop(0, iterations, body, (params, opt.init(params)))
-        return _conv_decoder_apply(params, z, channels=channels, out_channels=3)
+        return _conv_decoder_apply(params, z, sizes)
 
     return solve
