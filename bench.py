@@ -5,15 +5,16 @@ Measures images/sec for the full proposed-method train step (SwinIR 11.9M,
 SURE + scaling-EI loss = 3 model evals + backward on 48x48 crops, batch 8,
 everything in one jitted sharded graph) and prints ONE JSON line.
 
-Baseline context (BASELINE.md): the reference publishes no throughput
-numbers; BASELINE.json targets >=3x the A100 PyTorch reference per chip.
-An A100 running the reference's torch loop (3x SwinIR fwd + bwd @ 48px,
-batch 8, per-item host data synthesis) sustains roughly 25-40 images/sec;
-vs_baseline below is computed against 35 images/sec.
+Baseline context: the reference publishes no throughput numbers; BASELINE.json
+targets >=3x the A100 PyTorch reference per chip.  The A100 figure is derived
+in BASELINE.md ("Throughput baseline derivation") from the step's analytic
+FLOPs and eager-torch utilization bounds, and parsed from there so the
+derivation and the number can never drift apart.
 """
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -23,7 +24,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-A100_REFERENCE_IMAGES_PER_SEC = 35.0
+
+def _baseline_images_per_sec() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    with open(path) as f:
+        m = re.search(r"^A100_REFERENCE_IMAGES_PER_SEC:\s*([0-9.]+)", f.read(), re.M)
+    return float(m.group(1))
+
+
+A100_REFERENCE_IMAGES_PER_SEC = _baseline_images_per_sec()
 
 
 def main():
