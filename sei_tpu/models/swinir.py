@@ -171,7 +171,11 @@ class SwinBlock(nn.Module):
         shift = self.shift_size if min(h, w) > ws else 0
 
         shortcut = x
-        y = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
+        # LN in the compute dtype: params and the mean/var statistics stay
+        # f32 (flax upcasts stats internally); only the normalized output is
+        # cast.  Halves the LN HBM traffic in bf16 mode - the step is
+        # bandwidth-bound (round-2 probes), not MXU-bound.
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
         win = window_partition(y, ws)
@@ -191,7 +195,7 @@ class SwinBlock(nn.Module):
 
         dp = DropPath(rate=self.drop_path)
         x = shortcut + dp(y, deterministic, drop_path_override)
-        z = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         z = Mlp(hidden=int(c * self.mlp_ratio), out=c, dtype=self.dtype, name="mlp")(z)
         return x + dp(z, deterministic, drop_path_override)
 
@@ -232,6 +236,14 @@ class SwinPair(nn.Module):
 class RSTB(nn.Module):
     """Residual Swin Transformer Block: BasicLayer + conv + residual.
 
+    ``fused_trunk`` runs all ``depth`` blocks as ONE Pallas kernel
+    (ops/swin_trunk.py): activations stay in VMEM across the whole trunk,
+    collapsing ~20*depth XLA ops into depth/2 fused grid steps.  Parameters
+    keep the exact per-block flax structure (checkpoint/torch-interop
+    unchanged); they are stacked at trace time, which XLA folds into a few
+    cheap copies.  Init always takes the unfused path so the param tree is
+    identical either way.
+
     ``scan_blocks`` folds the depth loop into one ``nn.scan`` over a
     shift/no-shift block pair: the pair's HLO compiles once instead of
     depth/2 times (a large compile-time win for the 36-block flagship).
@@ -251,11 +263,70 @@ class RSTB(nn.Module):
     use_pallas: Optional[bool] = None
     remat: bool = False
     scan_blocks: bool = False
+    fused_trunk: bool = False
+
+    def _fused_apply(self, x, deterministic: bool):
+        """Stack the per-block params and call the fused Pallas trunk."""
+        from ..ops.swin_trunk import PARAM_LEAVES, swin_trunk
+
+        b, h, w, c = x.shape
+        ws = self.window_size
+        n = ws * ws
+        pv = self.variables["params"]
+        leaf_of = {
+            "ln1_s": ("norm1", "scale"), "ln1_b": ("norm1", "bias"),
+            "qkv_w": ("attn", "qkv", "kernel"), "qkv_b": ("attn", "qkv", "bias"),
+            "proj_w": ("attn", "proj", "kernel"), "proj_b": ("attn", "proj", "bias"),
+            "ln2_s": ("norm2", "scale"), "ln2_b": ("norm2", "bias"),
+            "fc1_w": ("mlp", "fc1", "kernel"), "fc1_b": ("mlp", "fc1", "bias"),
+            "fc2_w": ("mlp", "fc2", "kernel"), "fc2_b": ("mlp", "fc2", "bias"),
+        }
+
+        def get(i, path):
+            node = pv[f"blocks_{i}"]
+            for k in path:
+                node = node[k]
+            return node
+
+        stacked = {
+            leaf: jnp.stack([get(i, path) for i in range(self.depth)])
+            for leaf, path in leaf_of.items()
+        }
+        # relative-position bias: one-hot matmul keeps the table's gradient
+        # path a transposed matmul (no scatter), exactly as WindowAttention.
+        idx = relative_position_index(ws).reshape(-1)
+        onehot = np.zeros((n * n, (2 * ws - 1) ** 2), np.float32)
+        onehot[np.arange(n * n), idx] = 1.0
+        oh = jnp.asarray(onehot)
+        rpb = jnp.stack([
+            (oh @ get(i, ("attn", "relative_position_bias_table"))
+             .astype(jnp.float32)).reshape(n, n, self.num_heads)
+            .transpose(2, 0, 1)
+            for i in range(self.depth)
+        ])
+        shift = ws // 2 if min(h, w) > ws else 0
+        mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
+        rates = np.asarray(self.drop_paths, np.float32)
+        if deterministic or float(rates.max()) == 0.0:
+            dpm = jnp.ones((self.depth, b), jnp.float32)
+        else:
+            keep = jnp.asarray(1.0 - rates)[:, None]
+            bern = jax.random.bernoulli(
+                self.make_rng("dropout"), keep, (self.depth, b))
+            dpm = bern.astype(jnp.float32) / keep
+        return swin_trunk(x, stacked, rpb, mask, dpm,
+                          num_heads=self.num_heads, window_size=ws)
 
     @nn.compact
     def __call__(self, x, deterministic: bool):
         res = x
-        if self.scan_blocks:
+        if (
+            self.fused_trunk
+            and not self.is_initializing()
+            and self.depth % 2 == 0
+        ):
+            x = self._fused_apply(x, deterministic)
+        elif self.scan_blocks:
             assert self.depth % 2 == 0, "scan_blocks needs an even depth"
             n_pairs = self.depth // 2
             rates = jnp.asarray(self.drop_paths, jnp.float32).reshape(n_pairs, 2)
@@ -352,6 +423,30 @@ class SwinIR(nn.Module):
     # 136ms vs 80ms AGAINST the unrolled loop (XLA fuses better across
     # unrolled blocks) - keep False unless compile memory forces it.
     scan_blocks: bool = False
+    # fused Pallas trunk (ops/swin_trunk.py): all blocks of an RSTB in one
+    # kernel, activations resident in VMEM.  None = auto: on for TPU backends
+    # at training-crop sizes (the per-image VMEM working set must fit; large
+    # eval images fall back to the XLA path / spatial tiling).
+    fused_trunk: Optional[bool] = None
+
+    def _fused_trunk_on(self, h: int, w: int) -> bool:
+        if self.fused_trunk is not None:
+            on = self.fused_trunk
+        else:
+            import os
+
+            env = os.environ.get("SEI_FUSED_TRUNK")
+            if env is not None:
+                on = env not in ("0", "false", "")
+            else:
+                # default ON for TPU backends once the kernel is validated on
+                # real hardware; the bench and trainer set it explicitly.
+                on = jax.default_backend() in ("tpu", "axon")
+        # VMEM gate: per-image tile + chunked transients; 64x64 tokens at
+        # C=180 is ~1.5 MB/tile which leaves headroom on a 16 MB core.
+        return bool(on) and (h * w <= 64 * 64) and all(
+            d % 2 == 0 for d in self.depths
+        )
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -376,9 +471,10 @@ class SwinIR(nn.Module):
 
         def features(feat):
             if self.patch_norm:
-                f = nn.LayerNorm(epsilon=1e-5, name="patch_embed_norm")(feat)
+                f = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_embed_norm")(feat)
             else:
                 f = feat
+            fused = self._fused_trunk_on(f.shape[1], f.shape[2])
             d0 = 0
             for li, depth in enumerate(self.depths):
                 f = RSTB(
@@ -394,15 +490,17 @@ class SwinIR(nn.Module):
                     use_pallas=self.use_pallas,
                     remat=self.remat,
                     scan_blocks=self.scan_blocks,
+                    fused_trunk=fused,
                     name=f"layers_{li}",
                 )(f, deterministic)
                 d0 += depth
-            return nn.LayerNorm(epsilon=1e-5, name="norm")(f)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(f)
 
         if self.upsampler == "pixelshuffle":
             feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
             res = nn.Conv(
-                self.embed_dim, (3, 3), padding="SAME", name="conv_after_body"
+                self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
+                name="conv_after_body"
             )(features(feat))
             feat = res + feat
             feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
@@ -427,7 +525,8 @@ class SwinIR(nn.Module):
         else:
             feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
             res = nn.Conv(
-                self.embed_dim, (3, 3), padding="SAME", name="conv_after_body"
+                self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
+                name="conv_after_body"
             )(features(feat))
             res = res + feat
             out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, name="conv_last")(res)
