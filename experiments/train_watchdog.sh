@@ -37,8 +37,14 @@ while true; do
     fi
     continue
   fi
-  AGE=$(( $(date +%s) - $(stat -c %Y "$OUT/training.csv" 2>/dev/null || echo 0) ))
-  if [ -f "$OUT/training.csv" ] && [ "$AGE" -gt "$STALL" ]; then
+  # liveness = newest of the csv (one row per epoch) and the nohup log
+  # (compile/progress chatter); first epoch needs data load + a fresh
+  # compile, which can take >10 min on this 1-core host under contention.
+  T_CSV=$(stat -c %Y "$OUT/training.csv" 2>/dev/null || echo 0)
+  T_LOG=$(stat -c %Y "$LOG" 2>/dev/null || echo 0)
+  NEWEST=$(( T_CSV > T_LOG ? T_CSV : T_LOG ))
+  AGE=$(( $(date +%s) - NEWEST ))
+  if [ "$NEWEST" -gt 0 ] && [ "$AGE" -gt "$STALL" ]; then
     echo "watchdog: stalled ${AGE}s, killing $PID" >> "$LOG"
     kill "$PID" 2>/dev/null; sleep 5; kill -9 "$PID" 2>/dev/null; sleep 2
     CK=$(latest_ckpt)

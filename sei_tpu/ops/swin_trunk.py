@@ -79,12 +79,28 @@ def make_dims(x_shape, params, num_heads, window_size) -> TrunkDims:
 # -- elementwise pieces ------------------------------------------------------
 
 
+def _erf(x):
+    """Abramowitz-Stegun 7.1.26 polynomial erf (|err| <= 1.5e-7).
+
+    Mosaic has no erf primitive; this matches torch/flax exact-GELU well
+    inside the f32 golden tolerance (1.5e-7 << 2e-5).
+    """
+    p = 0.3275911
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    y = 1.0 - poly * jnp.exp(-ax * ax)
+    return jnp.sign(x) * y
+
+
 def _gelu_exact(x32):
-    return 0.5 * x32 * (1.0 + jax.lax.erf(x32 / _SQRT_2))
+    return 0.5 * x32 * (1.0 + _erf(x32 / _SQRT_2))
 
 
 def _gelu_grad(x32):
-    return (0.5 * (1.0 + jax.lax.erf(x32 / _SQRT_2))
+    return (0.5 * (1.0 + _erf(x32 / _SQRT_2))
             + x32 * jnp.exp(-0.5 * x32 * x32) * _INV_SQRT_2PI)
 
 
@@ -126,21 +142,34 @@ def _unwindow_tokens(t, dims: TrunkDims):
     return y.reshape(dims.h, dims.w, dims.c)
 
 
-def _split_heads(tok, dims: TrunkDims):
-    """(nW', N, C) -> (nW'*nh, N, hd)."""
-    nw, n, c = tok.shape
+# Head split/merge note: Mosaic cannot reshape-split the LANE dim (C=180 ->
+# nh x hd), so attention runs in a "transposed" layout: tokens are moved to
+# lanes ((nW', 3C, N) via a batched minor transpose) and the (3, nh, hd)
+# split happens on the SUBLANE side, which Mosaic supports.  Scores/values
+# then contract over the hd sublane dim.  The batch order (window-major,
+# head-minor) and the C = head-major merge order match the flax path.
+
+
+def _qkv_heads(qkv, dims: TrunkDims):
+    """(nW', N, 3C) -> (q, k, v) each (nW'*nh, hd, N), sublane-split heads."""
+    nw, n, c3 = qkv.shape
+    c = c3 // 3
     hd = c // dims.nh
-    x = tok.reshape(nw, n, dims.nh, hd).transpose(0, 2, 1, 3)
-    return x.reshape(nw * dims.nh, n, hd)
+    t = qkv.transpose(0, 2, 1)  # (nW', 3C, N): batched minor transpose
+    h = t.reshape(nw, 3, dims.nh, hd, n)
+    q = h[:, 0].reshape(nw * dims.nh, hd, n)
+    k = h[:, 1].reshape(nw * dims.nh, hd, n)
+    v = h[:, 2].reshape(nw * dims.nh, hd, n)
+    return q, k, v
 
 
-def _merge_heads(x, dims: TrunkDims):
-    """(nW'*nh, N, hd) -> (nW', N, C)."""
+def _heads_to_tokens(o, dims: TrunkDims):
+    """(nW'*nh, hd, N) -> (nW'*N, C) with head-major channel order."""
     nh = dims.nh
-    nwnh, n, hd = x.shape
+    nwnh, hd, n = o.shape
     nw = nwnh // nh
-    x = x.reshape(nw, nh, n, hd).transpose(0, 2, 1, 3)
-    return x.reshape(nw, n, nh * hd)
+    t = o.reshape(nw, nh * hd, n).transpose(0, 2, 1)  # (nW', N, C)
+    return t.reshape(nw * n, nh * hd)
 
 
 def _bdot(a, b, transpose_b=False):
@@ -167,9 +196,17 @@ def _chunk_size(n, target):
 
 
 def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
-                     wch: int = 12):
-    """LN1 -> windows -> qkv -> MSA -> proj -> unwindow.  Returns (y, xhat1,
-    inv1) with y in x.dtype; attention internals are chunked over windows."""
+                     wch: int = 4, scratch=None):
+    """LN1 -> windows -> qkv -> MSA -> proj -> unwindow.
+
+    Returns (y, xhat1, inv1) with y in x.dtype.  Attention runs chunked over
+    window groups inside a lax.fori_loop (bounded VMEM transients AND
+    bounded Mosaic code size).  ``scratch``: dict of pallas VMEM scratch
+    refs ("wa", "wb" of shape (nW, N, C)) - Mosaic cannot dynamic-slice
+    VALUES, but refs take dynamic pl.ds indices, so the kernel path stages
+    chunks through scratch; the pure-JAX path (scratch=None) uses plain
+    lax.dynamic_slice.  ``mask`` is a ref in the scratch path.
+    """
     cdt = x.dtype
     c = dims.c
     hd = c // dims.nh
@@ -180,107 +217,193 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     tok = _window_tokens(a, dims)  # (nW, N, C)
     nw, n, _ = tok.shape
     csz = _chunk_size(nw, wch)
-    outs = []
-    for w0 in range(0, nw, csz):
-        tchunk = tok[w0 : w0 + csz].reshape(csz * n, c)
-        qkv = (_dot(tchunk, pd["qkv_w"].astype(cdt)) + pd["qkv_b"]).astype(cdt)
-        qkv = qkv.reshape(csz, n, 3 * c)
-        q = _split_heads(qkv[..., :c], dims)
-        k = _split_heads(qkv[..., c : 2 * c], dims)
-        v = _split_heads(qkv[..., 2 * c :], dims)
-        s = _bdot(q, k, transpose_b=True) * (hd ** -0.5)  # f32
-        s = s.reshape(csz, dims.nh, n, n) + rpb_d[None].astype(jnp.float32)
+    qkv_w = pd["qkv_w"].astype(cdt)
+    proj_w = pd["proj_w"].astype(cdt)
+    rpb32 = rpb_d.astype(jnp.float32)
+    if scratch is not None:
+        scratch["wa"][...] = tok
+
+    def attend(tchunk, mchunk):
+        qkv = (_dot(tchunk.reshape(csz * n, c), qkv_w)
+               + pd["qkv_b"]).astype(cdt)
+        q, k, v = _qkv_heads(qkv.reshape(csz, n, 3 * c), dims)
+        # s[b, i, j] = sum_d q[b, d, i] k[b, d, j]  (contract hd sublanes)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        s = s.reshape(csz, dims.nh, n, n) + rpb32[None]
         if shifted:
-            s = s + mask[w0 : w0 + csz, None].astype(jnp.float32)
+            # NB slice+None indexing lowers to an unsupported Mosaic gather
+            s = s + mchunk.reshape(csz, 1, n, n).astype(jnp.float32)
         s = s.reshape(csz * dims.nh, n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-        av = _bdot(p, v).astype(cdt)  # (csz*nh, N, hd)
-        t = _merge_heads(av, dims).reshape(csz * n, c)
-        o = (_dot(t, pd["proj_w"].astype(cdt)) + pd["proj_b"]).astype(cdt)
-        outs.append(o.reshape(csz, n, c))
-    y = _unwindow_tokens(jnp.concatenate(outs, axis=0), dims)
+        # o[b, d, i] = sum_j v[b, d, j] p[b, i, j]
+        av = jax.lax.dot_general(
+            v, p, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt)
+        t = _heads_to_tokens(av, dims)
+        o = (_dot(t, proj_w) + pd["proj_b"]).astype(cdt)
+        return o.reshape(csz, n, c)
+
+    if scratch is not None:
+        def chunk(i, _):
+            w0 = i * csz
+            tchunk = scratch["wa"][pl.ds(w0, csz)]
+            mchunk = mask[pl.ds(w0, csz)] if shifted else None
+            scratch["wb"][pl.ds(w0, csz)] = attend(tchunk, mchunk)
+            return 0
+        jax.lax.fori_loop(0, nw // csz, chunk, 0)
+        out = scratch["wb"][...]
+    else:
+        def chunk(i, out_buf):
+            w0 = i * csz
+            tchunk = jax.lax.dynamic_slice(tok, (w0, 0, 0), (csz, n, c))
+            mchunk = (jax.lax.dynamic_slice(mask, (w0, 0, 0), (csz, n, n))
+                      if shifted else None)
+            return jax.lax.dynamic_update_slice(
+                out_buf, attend(tchunk, mchunk), (w0, 0, 0))
+        out = jax.lax.fori_loop(
+            0, nw // csz, chunk, jnp.zeros((nw, n, c), cdt))
+    y = _unwindow_tokens(out, dims)
     if shifted:
         y = jnp.roll(y, (dims.shift, dims.shift), axis=(0, 1))
     return y, xhat1, inv1
 
 
-def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = 768):
-    """LN2 -> fc1 -> gelu -> fc2, chunked over token rows."""
+def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = 384, scratch=None):
+    """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows."""
     cdt = x2.dtype
     c = dims.c
     flat32 = x2.astype(jnp.float32).reshape(dims.h * dims.w, c)
     nt = flat32.shape[0]
     csz = _chunk_size(nt, tch)
-    outs = []
-    for t0 in range(0, nt, csz):
-        z32, _, _ = _ln_fwd(flat32[t0 : t0 + csz], pd["ln2_s"], pd["ln2_b"])
-        h32 = _dot(z32.astype(cdt), pd["fc1_w"].astype(cdt)) + pd["fc1_b"]
+    fc1_w = pd["fc1_w"].astype(cdt)
+    fc2_w = pd["fc2_w"].astype(cdt)
+
+    def ff(chunk32):
+        z32, _, _ = _ln_fwd(chunk32, pd["ln2_s"], pd["ln2_b"])
+        h32 = _dot(z32.astype(cdt), fc1_w) + pd["fc1_b"]
         g = _gelu_exact(h32).astype(cdt)
-        m = (_dot(g, pd["fc2_w"].astype(cdt)) + pd["fc2_b"]).astype(cdt)
-        outs.append(m)
-    return jnp.concatenate(outs, axis=0).reshape(dims.h, dims.w, c)
+        return (_dot(g, fc2_w) + pd["fc2_b"]).astype(cdt)
+
+    if scratch is not None:
+        scratch["f1"][...] = flat32
+
+        def chunk(i, _):
+            t0 = i * csz
+            scratch["ta"][pl.ds(t0, csz)] = ff(scratch["f1"][pl.ds(t0, csz)])
+            return 0
+        jax.lax.fori_loop(0, nt // csz, chunk, 0)
+        out = scratch["ta"][...]
+    else:
+        def chunk(i, out_buf):
+            t0 = i * csz
+            m = ff(jax.lax.dynamic_slice(flat32, (t0, 0), (csz, c)))
+            return jax.lax.dynamic_update_slice(out_buf, m, (t0, 0))
+        out = jax.lax.fori_loop(
+            0, nt // csz, chunk, jnp.zeros((nt, c), cdt))
+    return out.reshape(dims.h, dims.w, c)
 
 
 def _block_fwd_image(x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
-                     shifted: bool):
+                     shifted: bool, scratch=None):
     """One SwinBlock on one image tile (H, W, C)."""
-    y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted)
+    y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
+                               scratch=scratch)
     x2 = (x.astype(jnp.float32) + dpm_bd * y.astype(jnp.float32)).astype(x.dtype)
-    m = _mlp_branch_fwd(x2, pd, dims)
+    m = _mlp_branch_fwd(x2, pd, dims, scratch=scratch)
     return (x2.astype(jnp.float32) + dpm_bd * m.astype(jnp.float32)).astype(x.dtype)
 
 
-def _zero_grads(pd):
-    return {k: jnp.zeros(v.shape, jnp.float32) for k, v in pd.items()}
-
-
 def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
-                     shifted: bool, wch: int = 12, tch: int = 768):
-    """Backward of one block for one image; recomputes internals chunked.
+                     shifted: bool, wch: int = 4, tch: int = 384,
+                     scratch=None):
+    """Backward of one block for one image; recomputes internals chunked
+    (remat style).  Chunk loops carry only the f32 grad accumulators; bulk
+    buffers stage through ``scratch`` refs on the kernel path.
 
     Returns (dx, grads dict (f32, unstacked), drpb_d (nh, N, N) f32).
     """
     cdt = x.dtype
     c = dims.c
     hd = c // dims.nh
-    gr = _zero_grads(pd)
+    ch = dims.ch
+    n = dims.ws * dims.ws
+    qkv_w = pd["qkv_w"].astype(cdt)
+    proj_w = pd["proj_w"].astype(cdt)
+    fc1_w = pd["fc1_w"].astype(cdt)
+    fc2_w = pd["fc2_w"].astype(cdt)
+    rpb32 = rpb_d.astype(jnp.float32)
+    gr = {}
+    z32_ = jnp.float32
 
-    # recompute x2 (attention fwd, internals discarded)
-    y_attn, xhat1, inv1 = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted)
+    # ---- recompute x2 (attention fwd, internals discarded) -----------------
+    y_attn, xhat1, inv1 = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
+                                           scratch=scratch)
     x2 = (x.astype(jnp.float32)
           + dpm_bd * y_attn.astype(jnp.float32)).astype(cdt)
 
     do32 = dout.astype(jnp.float32)
 
-    # ---- MLP branch backward (chunked over tokens) -------------------------
+    # ---- MLP branch backward (chunked over token rows) ---------------------
     x2flat32 = x2.astype(jnp.float32).reshape(dims.h * dims.w, c)
     dmflat = (dpm_bd * do32).reshape(dims.h * dims.w, c)
     nt = x2flat32.shape[0]
     csz = _chunk_size(nt, tch)
-    dx2_parts = []
-    for t0 in range(0, nt, csz):
-        x2c = x2flat32[t0 : t0 + csz]
+
+    def mlp_bwd(x2c, dm):
         z32, xhat2, inv2 = _ln_fwd(x2c, pd["ln2_s"], pd["ln2_b"])
         zc = z32.astype(cdt)
-        h32 = _dot(zc, pd["fc1_w"].astype(cdt)) + pd["fc1_b"]
+        h32 = _dot(zc, fc1_w) + pd["fc1_b"]
         g = _gelu_exact(h32).astype(cdt)
-        dm = dmflat[t0 : t0 + csz]
-        gr["fc2_w"] += _dot(g, dm.astype(cdt), transpose_a=True)
-        gr["fc2_b"] += jnp.sum(dm, axis=0)
-        dg = _dot(dm.astype(cdt), pd["fc2_w"].astype(cdt), transpose_b=True)
+        g_fc2w = _dot(g, dm.astype(cdt), transpose_a=True)
+        g_fc2b = jnp.sum(dm, axis=0)
+        dg = _dot(dm.astype(cdt), fc2_w, transpose_b=True)
         dh = dg * _gelu_grad(h32)
-        gr["fc1_w"] += _dot(zc, dh.astype(cdt), transpose_a=True)
-        gr["fc1_b"] += jnp.sum(dh, axis=0)
-        dz = _dot(dh.astype(cdt), pd["fc1_w"].astype(cdt), transpose_b=True)
-        gr["ln2_s"] += jnp.sum(dz * xhat2, axis=0)
-        gr["ln2_b"] += jnp.sum(dz, axis=0)
-        dx2_parts.append(_ln_bwd(dz, xhat2, inv2, pd["ln2_s"]))
-    dx2 = do32 + jnp.concatenate(dx2_parts, axis=0).reshape(
-        dims.h, dims.w, c)
+        g_fc1w = _dot(zc, dh.astype(cdt), transpose_a=True)
+        g_fc1b = jnp.sum(dh, axis=0)
+        dz = _dot(dh.astype(cdt), fc1_w, transpose_b=True)
+        g_ln2s = jnp.sum(dz * xhat2, axis=0)
+        g_ln2b = jnp.sum(dz, axis=0)
+        dx2_c = _ln_bwd(dz, xhat2, inv2, pd["ln2_s"])
+        return dx2_c, (g_fc1w, g_fc1b, g_fc2w, g_fc2b, g_ln2s, g_ln2b)
 
-    # ---- attention branch backward (chunked over windows) ------------------
+    mlp_init = (jnp.zeros((c, ch), z32_), jnp.zeros((ch,), z32_),
+                jnp.zeros((ch, c), z32_), jnp.zeros((c,), z32_),
+                jnp.zeros((c,), z32_), jnp.zeros((c,), z32_))
+    if scratch is not None:
+        scratch["f1"][...] = x2flat32
+        scratch["f2"][...] = dmflat
+
+        def mlp_chunk(i, accs):
+            t0 = i * csz
+            dx2_c, gs = mlp_bwd(scratch["f1"][pl.ds(t0, csz)],
+                                scratch["f2"][pl.ds(t0, csz)])
+            scratch["f3"][pl.ds(t0, csz)] = dx2_c
+            return tuple(a + g for a, g in zip(accs, gs))
+
+        accs = jax.lax.fori_loop(0, nt // csz, mlp_chunk, mlp_init)
+        dx2_b = scratch["f3"][...]
+    else:
+        def mlp_chunk(i, carry):
+            buf, accs = carry
+            t0 = i * csz
+            dx2_c, gs = mlp_bwd(
+                jax.lax.dynamic_slice(x2flat32, (t0, 0), (csz, c)),
+                jax.lax.dynamic_slice(dmflat, (t0, 0), (csz, c)))
+            buf = jax.lax.dynamic_update_slice(buf, dx2_c, (t0, 0))
+            return (buf, tuple(a + g for a, g in zip(accs, gs)))
+
+        dx2_b, accs = jax.lax.fori_loop(
+            0, nt // csz, mlp_chunk,
+            (jnp.zeros((nt, c), z32_), mlp_init))
+    (gr["fc1_w"], gr["fc1_b"], gr["fc2_w"], gr["fc2_b"],
+     gr["ln2_s"], gr["ln2_b"]) = accs
+    dx2 = do32 + dx2_b.reshape(dims.h, dims.w, c)
+
+    # ---- attention branch backward (chunked over window groups) ------------
     dy = (dpm_bd * dx2).astype(cdt)
     if shifted:
         dy = jnp.roll(dy, (-dims.shift, -dims.shift), axis=(0, 1))
@@ -293,60 +416,111 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
         a = jnp.roll(a, (-dims.shift, -dims.shift), axis=(0, 1))
     a_tok = _window_tokens(a, dims)
 
-    nw, n, _ = a_tok.shape
+    nw = a_tok.shape[0]
     wcs = _chunk_size(nw, wch)
-    da_parts = []
-    drpb = jnp.zeros((dims.nh, n, n), jnp.float32)
-    for w0 in range(0, nw, wcs):
-        ac = a_tok[w0 : w0 + wcs].reshape(wcs * n, c)
-        qkv = (_dot(ac, pd["qkv_w"].astype(cdt)) + pd["qkv_b"]).astype(cdt)
-        qkv = qkv.reshape(wcs, n, 3 * c)
-        q = _split_heads(qkv[..., :c], dims)
-        k = _split_heads(qkv[..., c : 2 * c], dims)
-        v = _split_heads(qkv[..., 2 * c :], dims)
-        s = _bdot(q, k, transpose_b=True) * (hd ** -0.5)
-        s = s.reshape(wcs, dims.nh, n, n) + rpb_d[None].astype(jnp.float32)
+
+    def attn_bwd(ac_, doc_, mchunk):
+        ac = ac_.reshape(wcs * n, c)
+        qkv = (_dot(ac, qkv_w) + pd["qkv_b"]).astype(cdt)
+        q, k, v = _qkv_heads(qkv.reshape(wcs, n, 3 * c), dims)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        s = s.reshape(wcs, dims.nh, n, n) + rpb32[None]
         if shifted:
-            s = s + mask[w0 : w0 + wcs, None].astype(jnp.float32)
+            s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
         s = s.reshape(wcs * dims.nh, n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
         pc = p.astype(cdt)
-        av = _bdot(pc, v).astype(cdt)
-        t = _merge_heads(av, dims).reshape(wcs * n, c)
+        av = jax.lax.dot_general(
+            v, pc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(cdt)
+        t = _heads_to_tokens(av, dims)
 
-        doc = do_tok[w0 : w0 + wcs].reshape(wcs * n, c)
-        gr["proj_w"] += _dot(t, doc.astype(cdt), transpose_a=True)
-        gr["proj_b"] += jnp.sum(doc.astype(jnp.float32), axis=0)
-        dt = _dot(doc.astype(cdt), pd["proj_w"].astype(cdt), transpose_b=True)
-        dav = _split_heads(dt.astype(cdt).reshape(wcs, n, c), dims)
-        dp = _bdot(dav, v, transpose_b=True)  # f32 (wcs*nh, N, N)
-        dv = _bdot(pc.transpose(0, 2, 1), dav)
+        doc = doc_.reshape(wcs * n, c)
+        g_projw = _dot(t, doc.astype(cdt), transpose_a=True)
+        g_projb = jnp.sum(doc.astype(jnp.float32), axis=0)
+        dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)
+        # back to the heads layout: (wcs*nh, hd, N)
+        dav = dt.astype(cdt).reshape(wcs, n, c).transpose(0, 2, 1)
+        dav = dav.reshape(wcs * dims.nh, hd, n)
+        # dp[b, i, j] = sum_d dav[b, d, i] v[b, d, j]
+        dp = jax.lax.dot_general(
+            dav, v, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        # dv[b, d, j] = sum_i dav[b, d, i] p[b, i, j]
+        dv = jax.lax.dot_general(
+            dav, pc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        drpb += jnp.sum(ds.reshape(wcs, dims.nh, n, n), axis=0)
+        g_rpb = jnp.sum(ds.reshape(wcs, dims.nh, n, n), axis=0)
         dsc = ds.astype(cdt)
-        dq = _bdot(dsc, k) * (hd ** -0.5)
-        dk = _bdot(dsc.transpose(0, 2, 1), q) * (hd ** -0.5)
-        dqkv = jnp.concatenate(
-            [_merge_heads(dq.astype(cdt), dims),
-             _merge_heads(dk.astype(cdt), dims),
-             _merge_heads(dv.astype(cdt), dims)],
-            axis=-1,
-        ).reshape(wcs * n, 3 * c)
-        gr["qkv_w"] += _dot(ac, dqkv, transpose_a=True)
-        gr["qkv_b"] += jnp.sum(dqkv.astype(jnp.float32), axis=0)
-        da_parts.append(_dot(dqkv, pd["qkv_w"].astype(cdt), transpose_b=True)
-                        .astype(cdt).reshape(wcs, n, c))
+        # dq[b, d, i] = sum_j k[b, d, j] ds[b, i, j]
+        dq = jax.lax.dot_general(
+            k, dsc, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        # dk[b, d, j] = sum_i q[b, d, i] ds[b, i, j]
+        dk = jax.lax.dot_general(
+            q, dsc, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * (hd ** -0.5)
+        # reassemble (wcs*N, 3C): stack parts on the sublane side, transpose
+        dh_ = jnp.stack([dq.astype(cdt), dk.astype(cdt), dv.astype(cdt)],
+                        axis=1)  # (wcs*nh, 3, hd, N)
+        dh_ = dh_.reshape(wcs, dims.nh, 3, hd, n).transpose(0, 2, 1, 3, 4)
+        dqkv = dh_.reshape(wcs, 3 * c, n).transpose(0, 2, 1).reshape(
+            wcs * n, 3 * c)
+        g_qkvw = _dot(ac, dqkv, transpose_a=True)
+        g_qkvb = jnp.sum(dqkv.astype(jnp.float32), axis=0)
+        da_c = _dot(dqkv, qkv_w, transpose_b=True).astype(cdt)
+        return (da_c.reshape(wcs, n, c),
+                (g_qkvw, g_qkvb, g_projw, g_projb, g_rpb))
 
-    da = _unwindow_tokens(jnp.concatenate(da_parts, axis=0), dims)
+    attn_init = (jnp.zeros((c, 3 * c), z32_), jnp.zeros((3 * c,), z32_),
+                 jnp.zeros((c, c), z32_), jnp.zeros((c,), z32_),
+                 jnp.zeros((dims.nh, n, n), z32_))
+    if scratch is not None:
+        scratch["wa"][...] = a_tok
+        scratch["wb"][...] = do_tok
+
+        def attn_chunk(i, accs):
+            w0 = i * wcs
+            mchunk = mask[pl.ds(w0, wcs)] if shifted else None
+            da_c, gs = attn_bwd(scratch["wa"][pl.ds(w0, wcs)],
+                                scratch["wb"][pl.ds(w0, wcs)], mchunk)
+            scratch["wc"][pl.ds(w0, wcs)] = da_c
+            return tuple(a + g for a, g in zip(accs, gs))
+
+        accs = jax.lax.fori_loop(0, nw // wcs, attn_chunk, attn_init)
+        da_w = scratch["wc"][...]
+    else:
+        def attn_chunk(i, carry):
+            buf, accs = carry
+            w0 = i * wcs
+            mchunk = (jax.lax.dynamic_slice(mask, (w0, 0, 0), (wcs, n, n))
+                      if shifted else None)
+            da_c, gs = attn_bwd(
+                jax.lax.dynamic_slice(a_tok, (w0, 0, 0), (wcs, n, c)),
+                jax.lax.dynamic_slice(do_tok, (w0, 0, 0), (wcs, n, c)),
+                mchunk)
+            buf = jax.lax.dynamic_update_slice(buf, da_c, (w0, 0, 0))
+            return (buf, tuple(a + g for a, g in zip(accs, gs)))
+
+        da_w, accs = jax.lax.fori_loop(
+            0, nw // wcs, attn_chunk,
+            (jnp.zeros((nw, n, c), cdt), attn_init))
+    (gr["qkv_w"], gr["qkv_b"], gr["proj_w"], gr["proj_b"], drpb) = accs
+
+    da = _unwindow_tokens(da_w, dims)
     if shifted:
         da = jnp.roll(da, (dims.shift, dims.shift), axis=(0, 1))
     da32 = da.astype(jnp.float32)
-    gr["ln1_s"] += jnp.sum(da32 * xhat1, axis=(0, 1))
-    gr["ln1_b"] += jnp.sum(da32, axis=(0, 1))
+    gr["ln1_s"] = jnp.sum(da32 * xhat1, axis=(0, 1))
+    gr["ln1_b"] = jnp.sum(da32, axis=(0, 1))
     dx = dx2 + _ln_bwd(da32, xhat1, inv1, pd["ln1_s"])
     return dx.astype(cdt), gr, drpb
+
 
 
 def _slice_pd(params, d):
@@ -374,11 +548,12 @@ def trunk_reference(x, params, rpb, mask, dpm, *, num_heads, window_size):
 
 
 def _mask_array(mask, dims: TrunkDims):
+    """bf16 in VMEM (0/-100 are exact); cast to f32 at the softmax add."""
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
     if mask is None:
-        return jnp.zeros((nw, n, n), jnp.float32)
-    return jnp.asarray(mask, jnp.float32)
+        return jnp.zeros((nw, n, n), jnp.bfloat16)
+    return jnp.asarray(mask, jnp.bfloat16)
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +578,9 @@ def _fwd_kernel(dims: TrunkDims,
                 x_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, x_scr = refs
+    (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref,
+     x_scr, wa, wb, ta, f1) = refs
+    scratch = {"wa": wa, "wb": wb, "ta": ta, "f1": f1}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair index
     npairs = dims.d // 2
@@ -412,15 +589,14 @@ def _fwd_kernel(dims: TrunkDims,
     def _():
         x_scr[...] = x_ref[0]
 
-    mask = mask_ref[...]
     x = x_scr[...]
     for j in range(2):  # (no-shift, shift) pair
         xs_ref[j, 0] = x
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
         dpm_bd = dpm_ref[2 * ip + j, ib]
-        x = _block_fwd_image(x, pd, rpb_ref[0, j], mask, dpm_bd,
-                             dims, shifted)
+        x = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_bd,
+                             dims, shifted, scratch=scratch)
     x_scr[...] = x
 
     @pl.when(ip == npairs - 1)
@@ -434,7 +610,8 @@ def _bwd_kernel(dims: TrunkDims,
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
     rpb_ref, mask_ref, dpm_ref, xs_ref, dx_ref, drpb_ref = refs[:6]
     dw_refs = {k: r for k, r in zip(_W_ORDER, refs[6:18])}
-    dx_scr = refs[18]
+    dx_scr, wa, wb, wc, f1, f2, f3 = refs[18:25]
+    scratch = {"wa": wa, "wb": wb, "wc": wc, "f1": f1, "f2": f2, "f3": f3}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair axis walked in reverse via the index maps
     npairs = dims.d // 2
@@ -444,7 +621,6 @@ def _bwd_kernel(dims: TrunkDims,
     def _():
         dx_scr[...] = dy_ref[0]
 
-    mask = mask_ref[...]
     dx = dx_scr[...]
     for j in (1, 0):  # reverse within the pair
         x_in = xs_ref[j, 0]
@@ -452,7 +628,8 @@ def _bwd_kernel(dims: TrunkDims,
         shifted = (j == 1) and dims.shift > 0
         dpm_bd = dpm_ref[2 * pair + j, ib]
         dx, gr, drpb_d = _block_bwd_image(
-            dx, x_in, pd, rpb_ref[0, j], mask, dpm_bd, dims, shifted)
+            dx, x_in, pd, rpb_ref[0, j], mask_ref, dpm_bd, dims, shifted,
+            scratch=scratch)
         for k in _W_ORDER:
             dw_refs[k][0, 0, j] = gr[k].astype(dw_refs[k].dtype)
         drpb_ref[0, 0, j] = drpb_d
@@ -505,7 +682,15 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((dims.h, dims.w, dims.c), x.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((dims.h, dims.w, dims.c), x.dtype),
+            pltpu.VMEM((nw, n, dims.c), x.dtype),   # wa: window tokens
+            pltpu.VMEM((nw, n, dims.c), x.dtype),   # wb: attn out tokens
+            pltpu.VMEM((dims.h * dims.w, dims.c), x.dtype),  # ta: mlp out
+            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f1
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm)
     return y, xs
@@ -561,7 +746,17 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
-        scratch_shapes=[pltpu.VMEM((dims.h, dims.w, dims.c), dy.dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((dims.h, dims.w, dims.c), dy.dtype),
+            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wa
+            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wb
+            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wc
+            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f1
+            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f2
+            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f3
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs)
     dx = outs[0]
