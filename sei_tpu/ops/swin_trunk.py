@@ -142,34 +142,24 @@ def _unwindow_tokens(t, dims: TrunkDims):
     return y.reshape(dims.h, dims.w, dims.c)
 
 
-# Head split/merge note: Mosaic cannot reshape-split the LANE dim (C=180 ->
-# nh x hd), so attention runs in a "transposed" layout: tokens are moved to
-# lanes ((nW', 3C, N) via a batched minor transpose) and the (3, nh, hd)
-# split happens on the SUBLANE side, which Mosaic supports.  Scores/values
-# then contract over the hd sublane dim.  The batch order (window-major,
-# head-minor) and the C = head-major merge order match the flax path.
+# Multi-head note: Mosaic cannot reshape-split the LANE dim (C=180 -> nh x
+# hd), and moving tokens to lanes costs a VMEM transpose per tensor (the
+# round-2 kernel's dominant overhead).  Attention therefore runs
+# TRANSPOSE-FREE via head masks: scores_h = (q .* m_h) @ k^T contracts the
+# FULL channel dim (the 0/1 mask m_h zeroes the other heads' channels, so
+# the full-C contraction equals the per-head one), and av_h = p_h @ (v .*
+# m_h) lands each head's output in its own channel slice, so the head merge
+# is a plain sum.  ~6x the attention-matmul FLOPs (still <40% of the
+# block's), zero relayouts, and every GEMM keeps C on the lanes.
 
 
-def _qkv_heads(qkv, dims: TrunkDims):
-    """(nW', N, 3C) -> (q, k, v) each (nW'*nh, hd, N), sublane-split heads."""
-    nw, n, c3 = qkv.shape
-    c = c3 // 3
-    hd = c // dims.nh
-    t = qkv.transpose(0, 2, 1)  # (nW', 3C, N): batched minor transpose
-    h = t.reshape(nw, 3, dims.nh, hd, n)
-    q = h[:, 0].reshape(nw * dims.nh, hd, n)
-    k = h[:, 1].reshape(nw * dims.nh, hd, n)
-    v = h[:, 2].reshape(nw * dims.nh, hd, n)
-    return q, k, v
-
-
-def _heads_to_tokens(o, dims: TrunkDims):
-    """(nW'*nh, hd, N) -> (nW'*N, C) with head-major channel order."""
-    nh = dims.nh
-    nwnh, hd, n = o.shape
-    nw = nwnh // nh
-    t = o.reshape(nw, nh * hd, n).transpose(0, 2, 1)  # (nW', N, C)
-    return t.reshape(nw * n, nh * hd)
+def _head_mask(nh: int, c: int) -> jnp.ndarray:
+    """(nh, C) 0/1 mask; built from iota so Pallas does not capture a
+    constant array (kernels may only close over scalars)."""
+    hd = c // nh
+    ci = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 0)
+    return (ci // hd == hi).astype(jnp.float32)
 
 
 def _bdot(a, b, transpose_b=False):
@@ -223,28 +213,33 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     if scratch is not None:
         scratch["wa"][...] = tok
 
+    nh = dims.nh
+    hm = _head_mask(nh, c)
+
     def attend(tchunk, mchunk):
-        qkv = (_dot(tchunk.reshape(csz * n, c), qkv_w)
-               + pd["qkv_b"]).astype(cdt)
-        q, k, v = _qkv_heads(qkv.reshape(csz, n, 3 * c), dims)
-        # s[b, i, j] = sum_d q[b, d, i] k[b, d, j]  (contract hd sublanes)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        s = s.reshape(csz, dims.nh, n, n) + rpb32[None]
+        flat = tchunk.reshape(csz * n, c)
+        qkv = (_dot(flat, qkv_w) + pd["qkv_b"]).astype(cdt)
+        q = qkv[:, :c].reshape(csz, n, c)
+        k = qkv[:, c : 2 * c].reshape(csz, n, c)
+        v = qkv[:, 2 * c :].reshape(csz, n, c)
+        qm = (q[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
+            csz * nh, n, c)
+        kb = jnp.broadcast_to(k[:, None], (csz, nh, n, c)).reshape(
+            csz * nh, n, c)
+        s = _bdot(qm, kb, transpose_b=True) * (hd ** -0.5)  # f32
+        s = s.reshape(csz, nh, n, n) + rpb32[None]
         if shifted:
             # NB slice+None indexing lowers to an unsupported Mosaic gather
             s = s + mchunk.reshape(csz, 1, n, n).astype(jnp.float32)
-        s = s.reshape(csz * dims.nh, n, n)
+        s = s.reshape(csz * nh, n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-        # o[b, d, i] = sum_j v[b, d, j] p[b, i, j]
-        av = jax.lax.dot_general(
-            v, p, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(cdt)
-        t = _heads_to_tokens(av, dims)
-        o = (_dot(t, proj_w) + pd["proj_b"]).astype(cdt)
+        vm = (v[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
+            csz * nh, n, c)
+        av = _bdot(p, vm)  # (csz*nh, N, C) f32; heads occupy disjoint C
+        t = jnp.sum(av.reshape(csz, nh, n, c), axis=1).astype(cdt)
+        o = (_dot(t.reshape(csz * n, c), proj_w) + pd["proj_b"]).astype(cdt)
         return o.reshape(csz, n, c)
 
     if scratch is not None:
@@ -419,58 +414,64 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
     nw = a_tok.shape[0]
     wcs = _chunk_size(nw, wch)
 
+    nh = dims.nh
+    hm = _head_mask(nh, c)
+
     def attn_bwd(ac_, doc_, mchunk):
         ac = ac_.reshape(wcs * n, c)
         qkv = (_dot(ac, qkv_w) + pd["qkv_b"]).astype(cdt)
-        q, k, v = _qkv_heads(qkv.reshape(wcs, n, 3 * c), dims)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        s = s.reshape(wcs, dims.nh, n, n) + rpb32[None]
+        q = qkv[:, :c].reshape(wcs, n, c)
+        k = qkv[:, c : 2 * c].reshape(wcs, n, c)
+        v = qkv[:, 2 * c :].reshape(wcs, n, c)
+        hmc = hm[None, :, None, :].astype(cdt)
+        qm = (q[:, None] * hmc).reshape(wcs * nh, n, c)
+        kb = jnp.broadcast_to(k[:, None], (wcs, nh, n, c)).reshape(
+            wcs * nh, n, c)
+        s = _bdot(qm, kb, transpose_b=True) * (hd ** -0.5)
+        s = s.reshape(wcs, nh, n, n) + rpb32[None]
         if shifted:
             s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
-        s = s.reshape(wcs * dims.nh, n, n)
+        s = s.reshape(wcs * nh, n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
         pc = p.astype(cdt)
-        av = jax.lax.dot_general(
-            v, pc, (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32).astype(cdt)
-        t = _heads_to_tokens(av, dims)
+        vm = (v[:, None] * hmc).reshape(wcs * nh, n, c)
+        av = _bdot(pc, vm)
+        t = jnp.sum(av.reshape(wcs, nh, n, c), axis=1).astype(cdt)
 
         doc = doc_.reshape(wcs * n, c)
-        g_projw = _dot(t, doc.astype(cdt), transpose_a=True)
+        g_projw = _dot(t.reshape(wcs * n, c), doc.astype(cdt),
+                       transpose_a=True)
         g_projb = jnp.sum(doc.astype(jnp.float32), axis=0)
         dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)
-        # back to the heads layout: (wcs*nh, hd, N)
-        dav = dt.astype(cdt).reshape(wcs, n, c).transpose(0, 2, 1)
-        dav = dav.reshape(wcs * dims.nh, hd, n)
-        # dp[b, i, j] = sum_d dav[b, d, i] v[b, d, j]
-        dp = jax.lax.dot_general(
-            dav, v, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
-        # dv[b, d, j] = sum_i dav[b, d, i] p[b, i, j]
-        dv = jax.lax.dot_general(
-            dav, pc, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)
+        # d(av_h) = dt .* m_h (head h owns its channel slice)
+        davm = (dt.astype(cdt).reshape(wcs, n, c)[:, None] * hmc).reshape(
+            wcs * nh, n, c)
+        vb = jnp.broadcast_to(v[:, None], (wcs, nh, n, c)).reshape(
+            wcs * nh, n, c)
+        # dp[b, i, j] = sum_c davm[b, i, c] v[b, j, c] (mask already in davm)
+        dp = _bdot(davm, vb, transpose_b=True)
+        # dv = sum_h p_h^T @ dav_h (rows land in disjoint channels)
+        dvm = jax.lax.dot_general(
+            pc, davm, (((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # (wcs*nh, n, c)
+        dv = jnp.sum(dvm.reshape(wcs, nh, n, c), axis=1)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        g_rpb = jnp.sum(ds.reshape(wcs, dims.nh, n, n), axis=0)
+        g_rpb = jnp.sum(ds.reshape(wcs, nh, n, n), axis=0)
         dsc = ds.astype(cdt)
-        # dq[b, d, i] = sum_j k[b, d, j] ds[b, i, j]
-        dq = jax.lax.dot_general(
-            k, dsc, (((2,), (2,)), ((0,), (0,))),
+        # dq = sum_h (ds_h @ k) .* m_h ; dk = sum_h ds_h^T @ (q .* m_h)
+        dqm = _bdot(dsc, kb) * (hd ** -0.5)  # (wcs*nh, n, c)
+        dq = jnp.sum(dqm.reshape(wcs, nh, n, c)
+                     * hm[None, :, None, :], axis=1)
+        dkm = jax.lax.dot_general(
+            dsc, qm, (((1,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * (hd ** -0.5)
-        # dk[b, d, j] = sum_i q[b, d, i] ds[b, i, j]
-        dk = jax.lax.dot_general(
-            q, dsc, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        # reassemble (wcs*N, 3C): stack parts on the sublane side, transpose
-        dh_ = jnp.stack([dq.astype(cdt), dk.astype(cdt), dv.astype(cdt)],
-                        axis=1)  # (wcs*nh, 3, hd, N)
-        dh_ = dh_.reshape(wcs, dims.nh, 3, hd, n).transpose(0, 2, 1, 3, 4)
-        dqkv = dh_.reshape(wcs, 3 * c, n).transpose(0, 2, 1).reshape(
-            wcs * n, 3 * c)
+        dk = jnp.sum(dkm.reshape(wcs, nh, n, c), axis=1)
+        dqkv = jnp.concatenate(
+            [dq.astype(cdt).reshape(wcs * n, c),
+             dk.astype(cdt).reshape(wcs * n, c),
+             dv.astype(cdt).reshape(wcs * n, c)], axis=-1)
         g_qkvw = _dot(ac, dqkv, transpose_a=True)
         g_qkvb = jnp.sum(dqkv.astype(jnp.float32), axis=0)
         da_c = _dot(dqkv, qkv_w, transpose_b=True).astype(cdt)
