@@ -439,9 +439,10 @@ class SwinIR(nn.Module):
             if env is not None:
                 on = env not in ("0", "false", "")
             else:
-                # default ON for TPU backends once the kernel is validated on
-                # real hardware; the bench and trainer set it explicitly.
-                on = jax.default_backend() in ("tpu", "axon")
+                # opt-in until the kernel beats the XLA lowering end-to-end
+                # on real hardware (golden-tested, but v2 attention not yet
+                # benchmarked on-chip); flip to backend-default-on then.
+                on = False
         # VMEM gate: per-image tile + chunked transients; 64x64 tokens at
         # C=180 is ~1.5 MB/tile which leaves headroom on a 16 MB core.
         return bool(on) and (h * w <= 64 * 64) and all(

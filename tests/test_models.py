@@ -73,22 +73,28 @@ def test_swinir_load_torch_statedict(swinir_deblur):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y) + 1.0, atol=1e-6)
 
 
+# small blueprint: the default 5-scale spectral UNet costs ~250s of CPU
+# compile per shape; 3 scales exercises every code path (ideal up/down,
+# skips, reflect pad) at a fraction of the graph size
+_SMALL_CONV = {"scales": 3, "hidden_channels": 8, "num_conv_blocks": 1}
+
+
 def test_convolutional_model_shapes():
     m = get_model(kind="Proposed", architecture="Convolutional", task="deblurring",
-                  init_input_size=48)
-    y = jnp.ones((2, 3, 48, 48)) * 0.5
+                  init_input_size=16, conv_blueprint=_SMALL_CONV)
+    y = jnp.ones((2, 3, 16, 16)) * 0.5
     out = m(y)
-    assert out.shape == (2, 3, 48, 48)
-    # non multiple of 2^(scales-1)=16: exercises reflect pad path
-    y = jnp.ones((1, 3, 50, 34)) * 0.5
-    assert m(y).shape == (1, 3, 50, 34)
+    assert out.shape == (2, 3, 16, 16)
+    # non multiple of 2^(scales-1)=4: exercises reflect pad path
+    y = jnp.ones((1, 3, 18, 14)) * 0.5
+    assert m(y).shape == (1, 3, 18, 14)
 
 
 def test_convolutional_sr():
     m = get_model(kind="Proposed", architecture="Convolutional", task="sr",
-                  sr_factor=2, init_input_size=32)
-    y = jnp.ones((1, 3, 32, 32)) * 0.5
-    assert m(y).shape == (1, 3, 64, 64)
+                  sr_factor=2, init_input_size=16, conv_blueprint=_SMALL_CONV)
+    y = jnp.ones((1, 3, 16, 16)) * 0.5
+    assert m(y).shape == (1, 3, 32, 32)
 
 
 def test_baseline_models():

@@ -147,12 +147,12 @@ class TestModelIntegration:
     def _models(self):
         from sei_tpu.models.swinir import SwinIR
 
-        cfg = dict(img_size=16, embed_dim=24, depths=(2, 2), num_heads=(2, 2),
+        cfg = dict(img_size=8, embed_dim=16, depths=(2,), num_heads=(2,),
                    window_size=4, mlp_ratio=2.0, drop_path_rate=0.0,
                    upsampler=None)
         unfused = SwinIR(fused_trunk=False, **cfg)
         fused = SwinIR(fused_trunk=True, **cfg)
-        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 16, 16))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8))
         params = unfused.init(jax.random.PRNGKey(1), x, True)["params"]
         return unfused, fused, params, x
 
@@ -183,11 +183,11 @@ class TestModelIntegration:
         """drop_path>0 in train mode exercises the dpm rng plumbing."""
         from sei_tpu.models.swinir import SwinIR
 
-        cfg = dict(img_size=16, embed_dim=24, depths=(2, 2), num_heads=(2, 2),
+        cfg = dict(img_size=8, embed_dim=16, depths=(2,), num_heads=(2,),
                    window_size=4, mlp_ratio=2.0, drop_path_rate=0.2,
                    upsampler=None)
         fused = SwinIR(fused_trunk=True, **cfg)
-        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 16, 16))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 3, 8, 8))
         params = fused.init(jax.random.PRNGKey(1), x, True)["params"]
         y = fused.apply({"params": params}, x, False,
                         rngs={"dropout": jax.random.PRNGKey(3)})
