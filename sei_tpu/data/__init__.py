@@ -142,6 +142,7 @@ def build_device_cache(
     deterministic: bool = True,
     unique_seeds: bool = True,
     dtype=jnp.float32,
+    storage_dtype=jnp.float16,
     sharding=None,
     upsample_y_to_x: bool = False,
 ) -> DeviceDataCache:
@@ -150,6 +151,13 @@ def build_device_cache(
     Equivalent to the reference's frozen measurement synthesis: seed =
     unique image id (or 0), folded into ``base_key``
     (ref src/datasets/synthetic_dataset.py:26-41 + physics/__init__.py:65-74).
+
+    ``storage_dtype`` (default f16) is the HBM-resident precision of the
+    cache; batches are cast back to f32 at sampling time.  Source images
+    are 8-bit PNGs (quantization 1/255 ~ 4e-3), so f16 storage (~1e-3 at
+    unit scale) is strictly finer than the data itself and halves the
+    cache's HBM footprint (the f32 proposed step + an f32 cache exceeded
+    the 16 GB HBM).
     """
     n = len(gt)
     imgs = [np.asarray(im) for im in gt.load_all()]
@@ -198,8 +206,8 @@ def build_device_cache(
         rate = 1
 
     return DeviceDataCache(
-        x=x_dev,
-        y=y_dev,
+        x=x_dev.astype(storage_dtype),
+        y=y_dev.astype(storage_dtype),
         heights=jnp.asarray(hs + (-hs) % rate, dtype=jnp.int32),
         widths=jnp.asarray(ws + (-ws) % rate, dtype=jnp.int32),
         ids=jnp.asarray(ids),
@@ -232,8 +240,8 @@ def sample_train_batch(
     idx = jax.random.randint(k_img, (batch_size,), 0, n)
     rate = cache.rate
 
-    x_sel = cache.x[idx]
-    y_sel = cache.y[idx]
+    x_sel = cache.x[idx].astype(jnp.float32)
+    y_sel = cache.y[idx].astype(jnp.float32)
     if fresh_measurements:
         assert physics is not None
         y_sel = physics.degrade(x_sel, k_noise)
