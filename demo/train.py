@@ -96,11 +96,18 @@ def main():
         rng=jax.random.PRNGKey(args.seed),
     )
 
-    if args.bf16 and args.ProposedModel__architecture == "Transformer":
+    if args.ProposedModel__architecture == "Transformer":
         import dataclasses as _dc
         import jax.numpy as _jnp
 
-        model.module = _dc.replace(model.module, dtype=_jnp.bfloat16)
+        if args.bf16:
+            model.module = _dc.replace(model.module, dtype=_jnp.bfloat16)
+        # memory/time knob: rematerialize the first K RSTBs (one freed RSTB
+        # ~ 1.9GB of f32 activations at ~+6% step time); the f32 proposed
+        # step at batch 8 needs K>=1 on a 16GB-HBM chip
+        rl = int(os.environ.get("SEI_REMAT_LAYERS", "0") or 0)
+        if rl:
+            model.module = _dc.replace(model.module, remat_layers=rl)
 
     if args.weights is not None:
         model.load_weights(get_weights(args.weights))

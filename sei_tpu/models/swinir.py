@@ -417,6 +417,10 @@ class SwinIR(nn.Module):
     # rematerialize each Swin block in backward: ~30% more flops, O(depth)
     # less activation memory (needed for batch >8 at 48px on 16GB HBM)
     remat: bool = False
+    # rematerialize only the first K RSTBs: fine-grained memory/time trade
+    # (the f32 proposed step at batch 8 overflows 16GB HBM by ~260MB; one
+    # rematted RSTB frees ~1.9GB at ~+6% step time)
+    remat_layers: int = 0
     # nn.scan over block pairs; params become stacked (convert per-block
     # trees / torch checkpoints with swinir.stack_params_for_scan).  Measured
     # on a v5e at the flagship config: compile 157s vs 106s and steady step
@@ -478,7 +482,11 @@ class SwinIR(nn.Module):
             fused = self._fused_trunk_on(f.shape[1], f.shape[2])
             d0 = 0
             for li, depth in enumerate(self.depths):
-                f = RSTB(
+                rstb_cls = (
+                    nn.remat(RSTB, static_argnums=(2,))
+                    if li < self.remat_layers else RSTB
+                )
+                f = rstb_cls(
                     dim=self.embed_dim,
                     depth=depth,
                     num_heads=self.num_heads[li],
