@@ -20,7 +20,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def measure(n_dev: int, steps: int = 8) -> float:
+def measure(n_dev: int, steps: int = 8, weak: bool = False) -> float:
     os.environ["XLA_FLAGS"] = (
         os.environ.get("XLA_FLAGS", "")
         + f" --xla_force_host_platform_device_count={n_dev}"
@@ -56,7 +56,11 @@ def measure(n_dev: int, steps: int = 8) -> float:
                   architecture="Transformer")
     loss_fn = get_loss(method="proposed", physics=physics, noise_level=5)
 
-    n_img, batch = 32, 16
+    # weak scaling: fixed per-device batch (the meaningful mode on a host
+    # with ONE physical core, where virtual devices timeshare - constant
+    # throughput there means the sharded program adds no per-device
+    # overhead; real chips then scale the constant by n)
+    n_img, batch = 32, (4 * n_dev if weak else 16)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((n_img, 3, 96, 96), dtype=np.float32))
     key = jax.random.PRNGKey(0)
@@ -85,14 +89,19 @@ def measure(n_dev: int, steps: int = 8) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=None)
+    ap.add_argument("--weak", action="store_true")
     args = ap.parse_args()
     if args.n is not None:
-        print(json.dumps({"n": args.n, "img_per_sec": measure(args.n)}))
+        print(json.dumps({"n": args.n,
+                          "img_per_sec": measure(args.n, weak=args.weak)}))
         return
     results = {}
     for n in (1, 2, 4, 8):
+        cmd = [sys.executable, os.path.abspath(__file__), "--n", str(n)]
+        if "--weak" in sys.argv:
+            cmd.append("--weak")
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--n", str(n)],
+            cmd,
             capture_output=True, text=True, cwd=REPO,
             env={**os.environ, "PYTHONPATH": f"/root/.axon_site:{REPO}"},
         )
