@@ -124,6 +124,7 @@ def test_swinir_droppath_training_mode(swinir_deblur):
     assert out.shape == y.shape and bool(jnp.all(jnp.isfinite(out)))
 
 
+@pytest.mark.slow  # opt-in nn.scan variant (default off)
 def test_swinir_scan_blocks_equals_loop():
     from sei_tpu.models.swinir import SwinIR, stack_params_for_scan
 

@@ -149,12 +149,14 @@ def test_css_batch_swaps_pair(tiny_setup):
     assert not np.allclose(np.asarray(x), np.asarray(y))
 
 
+@pytest.mark.slow  # the driver runs this exact path every round
 def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
 
 
+@pytest.mark.slow  # opt-in trainer variant
 def test_scan_steps_trains_identically_shaped(tiny_setup):
     physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
     cache = _make_cache(tiny_setup, physics)
