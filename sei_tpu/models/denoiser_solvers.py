@@ -23,11 +23,19 @@ from .drunet import DRUNet, torch_drunet_to_flax
 
 
 def make_drunet_denoiser(weights_path: str):
-    from .torch_io import load_torch_file
+    """Torch drunet_color.pth (the published weights) or the native .npz
+    format written by drunet.save_drunet_native (locally trained, e.g. in
+    no-egress environments - see experiments/train_drunet.py)."""
+    if weights_path.endswith(".npz"):
+        from .drunet import load_drunet_native
 
-    sd = load_torch_file(weights_path)
-    params = torch_drunet_to_flax(sd)
-    net = DRUNet()
+        params, net = load_drunet_native(weights_path)
+    else:
+        from .torch_io import load_torch_file
+
+        sd = load_torch_file(weights_path)
+        params = torch_drunet_to_flax(sd)
+        net = DRUNet()
 
     def denoise(x, sigma):
         return net.apply({"params": params}, x, sigma)

@@ -133,3 +133,37 @@ def torch_drunet_to_flax(sd: dict) -> dict:
             continue
         raise ValueError(f"unmapped DRUNet key: {k}")
     return params
+
+
+# -- native weight format (no-egress environments train DRUNet locally) -----
+
+
+def save_drunet_native(path, params, *, channels, nb):
+    """Flax params -> one .npz (keys are /-joined tree paths + config)."""
+    import numpy as _np
+
+    flat = {}
+    for kpath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        key = "/".join(getattr(k, "key", str(k)) for k in kpath)
+        flat[key] = _np.asarray(leaf)
+    _np.savez(path, __channels=_np.asarray(channels),
+              __nb=_np.asarray(nb), **flat)
+
+
+def load_drunet_native(path):
+    """Returns (params, DRUNet module) from :func:`save_drunet_native`."""
+    import numpy as _np
+
+    z = _np.load(path)
+    channels = tuple(int(c) for c in z["__channels"])
+    nb = int(z["__nb"])
+    params = {}
+    for key in z.files:
+        if key.startswith("__"):
+            continue
+        node = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[key])
+    return params, DRUNet(channels=channels, nb=nb)

@@ -185,8 +185,15 @@ def _chunk_size(n, target):
     return n
 
 
+def _env_int(name, default):
+    import os
+
+    v = os.environ.get(name)
+    return int(v) if v else default
+
+
 def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
-                     wch: int = 4, scratch=None):
+                     wch: int = None, scratch=None):
     """LN1 -> windows -> qkv -> MSA -> proj -> unwindow.
 
     Returns (y, xhat1, inv1) with y in x.dtype.  Attention runs chunked over
@@ -197,6 +204,8 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     chunks through scratch; the pure-JAX path (scratch=None) uses plain
     lax.dynamic_slice.  ``mask`` is a ref in the scratch path.
     """
+    if wch is None:
+        wch = _env_int("SEI_TRUNK_WCH", 4)
     cdt = x.dtype
     c = dims.c
     hd = c // dims.nh
@@ -267,8 +276,10 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     return y, xhat1, inv1
 
 
-def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = 384, scratch=None):
+def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
     """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows."""
+    if tch is None:
+        tch = _env_int("SEI_TRUNK_TCH", 384)
     cdt = x2.dtype
     c = dims.c
     flat32 = x2.astype(jnp.float32).reshape(dims.h * dims.w, c)
@@ -313,7 +324,7 @@ def _block_fwd_image(x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
 
 
 def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
-                     shifted: bool, wch: int = 4, tch: int = 384,
+                     shifted: bool, wch: int = None, tch: int = None,
                      scratch=None):
     """Backward of one block for one image; recomputes internals chunked
     (remat style).  Chunk loops carry only the f32 grad accumulators; bulk
@@ -321,6 +332,10 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
 
     Returns (dx, grads dict (f32, unstacked), drpb_d (nh, N, N) f32).
     """
+    if wch is None:
+        wch = _env_int("SEI_TRUNK_WCH", 4)
+    if tch is None:
+        tch = _env_int("SEI_TRUNK_TCH", 384)
     cdt = x.dtype
     c = dims.c
     hd = c // dims.nh
