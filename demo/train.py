@@ -256,7 +256,10 @@ def main():
 
     if args.RESUME is not None:
         assert args.lr is not None, "RESUME requires an explicit --lr"
-        trainer.disable_scheduler = True
+        # reference parity: RESUME pins the lr and disables the scheduler
+        # (ref demo/train.py:213-230); --RESUME_keep_schedule instead keeps
+        # the step-indexed schedule (exact continuation after a crash)
+        trainer.disable_scheduler = not args.RESUME_keep_schedule
         trainer.__post_init__()
         trainer.load_checkpoint(args.RESUME)
         print("Loading checkpoint from epoch", trainer.start_epoch)

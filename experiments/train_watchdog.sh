@@ -30,7 +30,7 @@ while true; do
     CK=$(latest_ckpt)
     if [ -n "$CK" ]; then
       echo "watchdog: process died, resuming from $CK" >> "$LOG"
-      launch "$@" --RESUME "$CK" --lr 1e-4
+      launch "$@" --RESUME "$CK" --lr 1e-4 --RESUME_keep_schedule
     else
       echo "watchdog: process died with no checkpoint, relaunching" >> "$LOG"
       launch "$@"
@@ -50,7 +50,7 @@ while true; do
     CK=$(latest_ckpt)
     if [ -n "$CK" ]; then
       echo "watchdog: resuming from $CK" >> "$LOG"
-      launch "$@" --RESUME "$CK" --lr 1e-4
+      launch "$@" --RESUME "$CK" --lr 1e-4 --RESUME_keep_schedule
     else
       echo "watchdog: no checkpoint yet, relaunching fresh" >> "$LOG"
       rm -rf "$OUT"; launch "$@"

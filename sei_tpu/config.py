@@ -125,6 +125,11 @@ def add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--weights_distance_loss", action=BooleanOptionalAction,
                         default=False)
     parser.add_argument("--RESUME", type=str, default=None)
+    parser.add_argument("--RESUME_keep_schedule", action="store_true",
+                        help="resume with the step-indexed LR schedule intact "
+                             "(the reference's RESUME pins --lr and disables "
+                             "the scheduler; this flag is for crash recovery "
+                             "where schedule continuity is wanted)")
     # explicit env-hook spellings
     parser.add_argument("--supervised_l1", action=BooleanOptionalAction,
                         default=False)
