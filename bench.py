@@ -54,6 +54,9 @@ def main():
         model.module = dataclasses.replace(model.module, dtype=jnp.bfloat16)
     if os.environ.get("BENCH_REMAT"):
         model.module = dataclasses.replace(model.module, remat=True)
+    if os.environ.get("BENCH_FUSED"):
+        # fused Pallas Swin-trunk kernel (ops/swin_trunk.py)
+        model.module = dataclasses.replace(model.module, fused_trunk=True)
     loss_fn = get_loss(method="proposed", physics=physics, noise_level=5)
 
     # synthetic stand-in for the Div2K cache (same shapes as 256px training)
