@@ -156,6 +156,16 @@ class Trainer:
             beta2=self.beta2,
             trainable_mask=self.trainable_mask,
         )
+        # optional global-norm gradient clip (stability knob; the reference
+        # has none, so default off - used when the SURE+EI dynamics drift
+        # late in training on synthetic data)
+        clip = os.environ.get("SEI_CLIP")
+        if clip:
+            import optax as _optax
+
+            self.tx = _optax.chain(
+                _optax.clip_by_global_norm(float(clip)), self.tx
+            )
         self._pretrained = (
             jax.tree_util.tree_map(jnp.asarray, self.model.params)
             if self.weights_distance_lambda is not None
