@@ -114,6 +114,12 @@ class Model:
 
     def load_weights(self, weights):
         """Accept a flax params tree or a torch state_dict (np arrays)."""
+        if isinstance(weights, dict) and "params" in weights and (
+            "epoch" in weights or "opt_state" in weights or "optimizer" in weights
+        ):
+            # full training checkpoint: unwrap the params entry, exactly as
+            # the reference unwraps state["params"] (ref src/training.py:44)
+            weights = weights["params"]
         if isinstance(weights, dict) and any("." in k for k in weights):
             if isinstance(self.module, SwinIR):
                 weights = torch_swinir_to_flax(weights)
