@@ -24,6 +24,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the fused-trunk Mosaic kernels cost minutes to
+# compile cold; cached runs (driver invocations included) start in seconds
+os.makedirs("/root/jaxcache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"))
+
 
 def _baseline_images_per_sec() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
