@@ -63,7 +63,10 @@ def main():
     cs = args.crop
 
     @jax.jit
-    def step(params, opt, key):
+    def step(params, opt, key, data, hs, ws):
+        # data passed as an argument: closure-captured arrays are baked into
+        # the HLO as constants (an 840MB compile payload -> HTTP 413 on the
+        # remote compiler)
         ks = jax.random.split(key, 5)
         idx = jax.random.randint(ks[0], (args.batch,), 0, data.shape[0])
         xs = data[idx].astype(jnp.float32)
@@ -92,7 +95,7 @@ def main():
     t0 = time.time()
     for i in range(args.steps):
         key, k = jax.random.split(key)
-        params, opt, loss = step(params, opt, k)
+        params, opt, loss = step(params, opt, k, data, hs, ws)
         if (i + 1) % 500 == 0:
             print(f"step {i + 1}/{args.steps} loss {float(loss):.3e} "
                   f"({(i + 1) / (time.time() - t0):.1f} it/s)", flush=True)
