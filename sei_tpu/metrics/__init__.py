@@ -60,7 +60,12 @@ def _sep_valid(img: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
 
     bh = band(h)
     bw = band(w)
-    return jnp.einsum("oh,...hw,pw->...op", bh, img, bw)
+    # HIGHEST precision: TPU f32 matmuls default to bf16 mantissas, whose
+    # ~1e-3 error is the same scale as c2 - the variance cancellation
+    # (mu_xx - mu_x^2) then goes negative on flat regions and SSIM explodes
+    # past 1 (observed: per-image SSIM 31.7 on a flat dead-leaves val image).
+    return jnp.einsum("oh,...hw,pw->...op", bh, img, bw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(
