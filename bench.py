@@ -35,6 +35,13 @@ def _baseline_images_per_sec() -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     with open(path) as f:
         m = re.search(r"^A100_REFERENCE_IMAGES_PER_SEC:\s*([0-9.]+)", f.read(), re.M)
+    if m is None:
+        raise RuntimeError(
+            "BASELINE.md is missing the 'A100_REFERENCE_IMAGES_PER_SEC: <n>' "
+            "line (see its 'Throughput baseline derivation' section); bench.py "
+            "parses the baseline from there so the number and its derivation "
+            "cannot drift apart."
+        )
     return float(m.group(1))
 
 

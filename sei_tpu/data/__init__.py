@@ -142,7 +142,7 @@ def build_device_cache(
     deterministic: bool = True,
     unique_seeds: bool = True,
     dtype=jnp.float32,
-    storage_dtype=jnp.float16,
+    storage_dtype=None,
     sharding=None,
     upsample_y_to_x: bool = False,
 ) -> DeviceDataCache:
@@ -152,12 +152,14 @@ def build_device_cache(
     unique image id (or 0), folded into ``base_key``
     (ref src/datasets/synthetic_dataset.py:26-41 + physics/__init__.py:65-74).
 
-    ``storage_dtype`` (default f16) is the HBM-resident precision of the
-    cache; batches are cast back to f32 at sampling time.  Source images
-    are 8-bit PNGs (quantization 1/255 ~ 4e-3), so f16 storage (~1e-3 at
-    unit scale) is strictly finer than the data itself and halves the
-    cache's HBM footprint (the f32 proposed step + an f32 cache exceeded
-    the 16 GB HBM).
+    ``storage_dtype`` is the HBM-resident precision of the cache; batches
+    are cast back to f32 at sampling time.  Default (None) = "auto": f32,
+    EXCEPT on TPU backends when the f32 cache would exceed ~1 GB of HBM
+    (the 800-image Div2K flagship config; the f32 proposed step + an f32
+    cache exceeded the 16 GB HBM), where f16 is used.  Source images are
+    8-bit PNGs (quantization 1/255 ~ 4e-3), so f16 storage (~1e-3 at unit
+    scale) is strictly finer than the data itself - but small parity runs
+    stay exactly f32 by default.  Pass jnp.float16/jnp.float32 to force.
     """
     n = len(gt)
     imgs = [np.asarray(im) for im in gt.load_all()]
@@ -175,6 +177,13 @@ def build_device_cache(
     ids = np.array(
         [gt.unique_id(i) if unique_seeds else 0 for i in range(n)], dtype=np.int32
     )
+
+    if storage_dtype is None:
+        cache_bytes = 2 * x_pad.nbytes  # x + y, both ~full size
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        storage_dtype = (
+            jnp.float16 if (on_tpu and cache_bytes > 1 << 30) else jnp.float32
+        )
 
     x_dev = jnp.asarray(x_pad, dtype=dtype)
     if sharding is not None:
@@ -224,20 +233,42 @@ def sample_train_batch(
     css: bool = False,
     physics=None,
     fresh_measurements: bool = False,
+    step=None,
+    steps_per_epoch: Optional[int] = None,
+    epoch_key: Optional[jax.Array] = None,
 ):
     """Assemble one training batch fully on device (jit-safe).
 
-    Reproduces the reference's sampling distribution: uniform image choice
-    (shuffled dataloader), then an aligned random crop of the (x, y) pair
-    with the SR size ratio.  ``crop_size`` is the *y*-side crop: 256 for
-    deblurring (PrepareTrainingPairs, ref src/datasets/__init__.py:29-46),
-    48 for SR (the reference's ``_HOTFIX`` path, ref src/datasets/
-    __init__.py:78-85 + demo/train.py:116-119).  CSS swaps
-    (x, y) -> (y, degrade_fresh(y)) (ref src/datasets/__init__.py:70-76).
+    Image selection matches the reference's shuffled DataLoader (ref
+    demo/train.py:127): when ``step``/``steps_per_epoch``/``epoch_key`` are
+    given, a fresh per-epoch permutation of the dataset is sliced at the
+    step-within-epoch offset, so every image is visited exactly once per
+    epoch.  (Deviation: the reference's final partial batch of an epoch is
+    skipped here - XLA needs static batch shapes; the permutation is
+    re-drawn each epoch so all images are still visited across epochs.)
+    Without those arguments the sampler falls back to i.i.d.-uniform image
+    choice.  Then an aligned random crop of the (x, y) pair with the SR
+    size ratio.  ``crop_size`` is the *y*-side crop: 256 for deblurring
+    (PrepareTrainingPairs, ref src/datasets/__init__.py:29-46), 48 for SR
+    (the reference's ``_HOTFIX`` path, ref src/datasets/__init__.py:78-85 +
+    demo/train.py:116-119).  CSS swaps (x, y) -> (y, degrade_fresh(y))
+    (ref src/datasets/__init__.py:70-76).
     """
     k_img, k_crop, k_noise = jax.random.split(key, 3)
     n = len(cache)
-    idx = jax.random.randint(k_img, (batch_size,), 0, n)
+    if step is not None and steps_per_epoch is not None:
+        epoch = step // steps_per_epoch
+        step_in_epoch = step % steps_per_epoch
+        k_perm = jax.random.fold_in(
+            k_img if epoch_key is None else epoch_key, epoch
+        )
+        perm = jax.random.permutation(k_perm, n)
+        # wraps only when batch_size > n (tiny datasets)
+        idx = jnp.take(
+            perm, (step_in_epoch * batch_size + jnp.arange(batch_size)) % n
+        )
+    else:
+        idx = jax.random.randint(k_img, (batch_size,), 0, n)
     rate = cache.rate
 
     x_sel = cache.x[idx].astype(jnp.float32)

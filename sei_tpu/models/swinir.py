@@ -308,11 +308,13 @@ class RSTB(nn.Module):
         mask = shift_attn_mask(h, w, ws, shift) if shift > 0 else None
         rates = np.asarray(self.drop_paths, np.float32)
         if deterministic or float(rates.max()) == 0.0:
-            dpm = jnp.ones((self.depth, b), jnp.float32)
+            dpm = jnp.ones((self.depth, 2, b), jnp.float32)
         else:
-            keep = jnp.asarray(1.0 - rates)[:, None]
+            # independent draw per residual branch (attn, mlp) - matching
+            # the unfused DropPath's two make_rng calls per block
+            keep = jnp.asarray(1.0 - rates)[:, None, None]
             bern = jax.random.bernoulli(
-                self.make_rng("dropout"), keep, (self.depth, b))
+                self.make_rng("dropout"), keep, (self.depth, 2, b))
             dpm = bern.astype(jnp.float32) / keep
         return swin_trunk(x, stacked, rpb, mask, dpm,
                           num_heads=self.num_heads, window_size=ws)
@@ -451,8 +453,12 @@ class SwinIR(nn.Module):
                 on = jax.default_backend() in ("tpu", "axon")
         # VMEM gate: per-image tile + chunked transients; 64x64 tokens at
         # C=180 is ~1.5 MB/tile which leaves headroom on a 16 MB core.
-        return bool(on) and (h * w <= 64 * 64) and all(
-            d % 2 == 0 for d in self.depths
+        # qkv_bias gate: the fused kernel reads qkv_b unconditionally.
+        return (
+            bool(on)
+            and self.qkv_bias
+            and (h * w <= 64 * 64)
+            and all(d % 2 == 0 for d in self.depths)
         )
 
     @nn.compact

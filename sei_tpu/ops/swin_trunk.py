@@ -4,33 +4,49 @@ Why: the flagship SwinIR (ref src/models/__init__.py:51-74) runs 36 small
 attention blocks per forward; XLA lowers each to ~20 kernels on 48px crops,
 so the train step is per-op-overhead/bandwidth bound at ~8% MFU (round-2
 probes: fwd b8 = 19ms vs a ~2.3ms bf16 roofline).  This kernel computes all
-``D`` blocks of one RSTB for one image entirely in VMEM: activations never
-round-trip to HBM between blocks, and ~20*D XLA ops collapse into D/2 fused
-grid steps of one kernel launch.
+``D`` blocks of one RSTB for a GROUP of ``G`` images entirely in VMEM:
+activations never round-trip to HBM between blocks, and ~20*D XLA ops
+collapse into (B/G)*(D/2) fused grid steps of one kernel launch.
 
 Semantics match ``sei_tpu.models.swinir.SwinBlock`` exactly (LN eps 1e-5 with
 f32 statistics, torch-packed qkv with per-head split, relative-position bias
 + shifted-window mask added in f32 before an f32 softmax, exact GELU,
-per-sample drop-path masks on both residual branches); golden-tested against
-the unfused flax model in tests/test_swin_trunk.py.
+per-sample drop-path masks drawn INDEPENDENTLY for the attention and MLP
+residual branches - the reference's DropPath-per-call semantics);
+golden-tested against the unfused flax model in tests/test_swin_trunk.py.
 
 Layout contract (stacked over the block axis D; C = embed dim, Ch = mlp
-hidden, N = ws*ws, nh heads, nW windows):
+hidden, N = ws*ws, nh heads, nW windows per image):
   params: ln1_s, ln1_b: (D, C) f32;  qkv_w: (D, C, 3C); qkv_b: (D, 3C)
           proj_w: (D, C, C); proj_b: (D, C); ln2_s, ln2_b: (D, C)
           fc1_w: (D, C, Ch); fc1_b: (D, Ch); fc2_w: (D, Ch, C); fc2_b: (D, C)
   rpb:  (D, nh, N, N) f32   pre-expanded relative-position bias per block
   mask: (nW, N, N) f32      shifted-window mask (odd blocks); zeros when
                             min(H, W) <= ws (then no block shifts)
-  dpm:  (D, B) f32          drop-path keep mask, pre-scaled (0 or 1/keep)
+  dpm:  (D, 2, B) f32       drop-path keep masks, pre-scaled (0 or 1/keep);
+                            axis 1 = (attention branch, MLP branch)
 
-Forward grid: (B, D//2) - one image per outer step, one (no-shift, shift)
-block PAIR per inner step (shift parity is static, no lax.cond); the image
-activation lives in VMEM scratch across the pair steps, block inputs are
-saved to HBM (``xs``) for the backward.  Backward grid: (B, D//2) with the
-pair axis reversed; recomputes block internals chunk-by-chunk (remat style)
-and emits PER-IMAGE weight grads (B, D, ...) that XLA sum-reduces - keeping
-the kernel's VMEM footprint ~13 MB (v5e has ~16 MB/core).
+Forward grid: (B//G, D//2) - one image GROUP per outer step, one (no-shift,
+shift) block PAIR per inner step (shift parity is static, no lax.cond); the
+group's activations live in VMEM scratch across the pair steps, block inputs
+are saved to HBM (``xs``) for the backward.  Backward grid: (B//G, D//2)
+with the pair axis reversed; recomputes block internals chunk-by-chunk
+(remat style) and emits PER-GROUP weight grads (B//G, D, ...) that XLA
+sum-reduces.
+
+Attention layout (the round-3 restructure): Mosaic cannot reshape-split the
+LANE dim (C -> nh x hd), and per-head batched matmuls (M=N=64) use <20% of
+the 128x128 MXU.  Attention therefore runs TRANSPOSE-FREE via head masks
+with the head axis FOLDED INTO THE ROW DIM: with qm = (q .* m_h) stacked as
+(csz, nh*N, C), scores = qm @ k^T is ONE batched matmul with M = nh*N = 384
+rows (the 0/1 mask m_h zeroes the other heads' channels, so the full-C
+contraction equals the per-head one), and att = p @ v lands all heads'
+context in (csz, nh*N, C), merged by a masked sum over h.  ~6x the
+attention-matmul FLOPs of exact per-head attention (still <40% of the
+block's), but zero relayouts, no k/v broadcast materialization, and every
+GEMM keeps C on the lanes with M >= 384.  The backward contracts the nh*N
+row dim directly for dv/dk (K=384 matmuls) - the head masks ride inside
+p/qm, so those grads need no per-head handling at all.
 """
 
 from __future__ import annotations
@@ -58,6 +74,7 @@ _INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
 class TrunkDims(NamedTuple):
     d: int      # blocks (even)
     b: int      # batch
+    g: int      # images per grid step (divides b)
     h: int
     w: int
     c: int
@@ -67,13 +84,34 @@ class TrunkDims(NamedTuple):
     shift: int  # ws//2, or 0 when min(h, w) <= ws (no shifted blocks)
 
 
-def make_dims(x_shape, params, num_heads, window_size) -> TrunkDims:
+def _pick_group(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest divisor of b whose VMEM working set stays under budget.
+
+    Per-group bytes ~ 8 activation-sized buffers (x_scr, wa/wb/wc, f1-f3,
+    xs block) in mixed cdt/f32; budget 40 MB leaves room for weights,
+    chunk transients and the compiler's own temporaries under the 64 MB
+    scoped limit.  Overridable via SEI_TRUNK_G.
+    """
+    env = _env_int("SEI_TRUNK_G", 0)
+    per_image = h * w * c * (4 * itemsize + 4 * 4)  # cdt + f32 buffers
+    g = 1
+    for cand in range(1, b + 1):
+        if b % cand == 0 and cand * per_image <= 40 * 1024 * 1024:
+            g = cand
+    if env:
+        g = env if b % env == 0 else g
+    return g
+
+
+def make_dims(x_shape, params, num_heads, window_size, g: int = 0) -> TrunkDims:
     b, h, w, c = x_shape
     d = params["ln1_s"].shape[0]
     ch = params["fc1_w"].shape[-1]
     shift = window_size // 2 if min(h, w) > window_size else 0
-    return TrunkDims(d=d, b=b, h=h, w=w, c=c, nh=num_heads, ws=window_size,
-                     ch=ch, shift=shift)
+    if g <= 0:
+        g = 1
+    return TrunkDims(d=d, b=b, g=g, h=h, w=w, c=c, nh=num_heads,
+                     ws=window_size, ch=ch, shift=shift)
 
 
 # -- elementwise pieces ------------------------------------------------------
@@ -126,31 +164,21 @@ def _ln_bwd(dy32, xhat, inv, scale):
 
 
 def _window_tokens(y, dims: TrunkDims):
-    """(H, W, C) -> (nW, N, C), h-major window order (flax parity)."""
+    """(G, H, W, C) -> (G*nW, N, C), h-major window order (flax parity)."""
+    ws = dims.ws
+    g = y.shape[0]
+    nwh, nww = dims.h // ws, dims.w // ws
+    t = y.reshape(g, nwh, ws, nww, ws, dims.c)
+    t = t.transpose(0, 1, 3, 2, 4, 5)
+    return t.reshape(g * nwh * nww, ws * ws, dims.c)
+
+
+def _unwindow_tokens(t, g: int, dims: TrunkDims):
     ws = dims.ws
     nwh, nww = dims.h // ws, dims.w // ws
-    t = y.reshape(nwh, ws, nww, ws, dims.c)
-    t = t.transpose(0, 2, 1, 3, 4)
-    return t.reshape(nwh * nww, ws * ws, dims.c)
-
-
-def _unwindow_tokens(t, dims: TrunkDims):
-    ws = dims.ws
-    nwh, nww = dims.h // ws, dims.w // ws
-    y = t.reshape(nwh, nww, ws, ws, dims.c)
-    y = y.transpose(0, 2, 1, 3, 4)
-    return y.reshape(dims.h, dims.w, dims.c)
-
-
-# Multi-head note: Mosaic cannot reshape-split the LANE dim (C=180 -> nh x
-# hd), and moving tokens to lanes costs a VMEM transpose per tensor (the
-# round-2 kernel's dominant overhead).  Attention therefore runs
-# TRANSPOSE-FREE via head masks: scores_h = (q .* m_h) @ k^T contracts the
-# FULL channel dim (the 0/1 mask m_h zeroes the other heads' channels, so
-# the full-C contraction equals the per-head one), and av_h = p_h @ (v .*
-# m_h) lands each head's output in its own channel slice, so the head merge
-# is a plain sum.  ~6x the attention-matmul FLOPs (still <40% of the
-# block's), zero relayouts, and every GEMM keeps C on the lanes.
+    y = t.reshape(g, nwh, nww, ws, ws, dims.c)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(g, dims.h, dims.w, dims.c)
 
 
 def _head_mask(nh: int, c: int) -> jnp.ndarray:
@@ -169,12 +197,20 @@ def _bdot(a, b, transpose_b=False):
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
+def _bdot_rows(a, b):
+    """Contract the ROW (dim-1) axes: (B_, R, M) x (B_, R, N) -> (B_, M, N)
+    in f32 accumulation (used for dv/dk where R = nh*N)."""
+    return jax.lax.dot_general(
+        a, b, (((1,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    )
+
+
 def _dot(a, b, transpose_a=False, transpose_b=False):
     dims = (((0 if transpose_a else 1,), (1 if transpose_b else 0,)), ((), ()))
     return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
 
 
-# -- one block, one image (chunked; shared by reference and kernels) ---------
+# -- one block, one image group (chunked; shared by reference and kernels) ---
 
 
 def _chunk_size(n, target):
@@ -196,26 +232,30 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
                      wch: int = None, scratch=None):
     """LN1 -> windows -> qkv -> MSA -> proj -> unwindow.
 
-    Returns (y, xhat1, inv1) with y in x.dtype.  Attention runs chunked over
-    window groups inside a lax.fori_loop (bounded VMEM transients AND
-    bounded Mosaic code size).  ``scratch``: dict of pallas VMEM scratch
-    refs ("wa", "wb" of shape (nW, N, C)) - Mosaic cannot dynamic-slice
-    VALUES, but refs take dynamic pl.ds indices, so the kernel path stages
-    chunks through scratch; the pure-JAX path (scratch=None) uses plain
-    lax.dynamic_slice.  ``mask`` is a ref in the scratch path.
+    ``x``: (G, H, W, C).  Returns (y, xhat1, inv1) with y in x.dtype.
+    Attention runs chunked over window groups inside a lax.fori_loop
+    (bounded VMEM transients AND bounded Mosaic code size); the chunk size
+    divides nW so a chunk never spans two images' mask tables.
+    ``scratch``: dict of pallas VMEM scratch refs ("wa", "wb" of shape
+    (G*nW, N, C)) - Mosaic cannot dynamic-slice VALUES, but refs take
+    dynamic pl.ds indices, so the kernel path stages chunks through
+    scratch; the pure-JAX path (scratch=None) uses plain lax.dynamic_slice.
+    ``mask`` is a ref in the scratch path.
     """
     if wch is None:
-        wch = _env_int("SEI_TRUNK_WCH", 4)
+        wch = _env_int("SEI_TRUNK_WCH", 12)
     cdt = x.dtype
+    g = x.shape[0]
     c = dims.c
     hd = c // dims.nh
+    nwi = (dims.h // dims.ws) * (dims.w // dims.ws)  # windows per image
     a32, xhat1, inv1 = _ln_fwd(x.astype(jnp.float32), pd["ln1_s"], pd["ln1_b"])
     a = a32.astype(cdt)
     if shifted:
-        a = jnp.roll(a, (-dims.shift, -dims.shift), axis=(0, 1))
-    tok = _window_tokens(a, dims)  # (nW, N, C)
+        a = jnp.roll(a, (-dims.shift, -dims.shift), axis=(1, 2))
+    tok = _window_tokens(a, dims)  # (G*nW, N, C)
     nw, n, _ = tok.shape
-    csz = _chunk_size(nw, wch)
+    csz = _chunk_size(nwi, wch)
     qkv_w = pd["qkv_w"].astype(cdt)
     proj_w = pd["proj_w"].astype(cdt)
     rpb32 = rpb_d.astype(jnp.float32)
@@ -231,23 +271,21 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
         q = qkv[:, :c].reshape(csz, n, c)
         k = qkv[:, c : 2 * c].reshape(csz, n, c)
         v = qkv[:, 2 * c :].reshape(csz, n, c)
+        # fold heads into rows: (csz, nh*N, C); mask m_h zeroes other heads
         qm = (q[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
-            csz * nh, n, c)
-        kb = jnp.broadcast_to(k[:, None], (csz, nh, n, c)).reshape(
-            csz * nh, n, c)
-        s = _bdot(qm, kb, transpose_b=True) * (hd ** -0.5)  # f32
+            csz, nh * n, c)
+        s = _bdot(qm, k, transpose_b=True) * (hd ** -0.5)  # (csz, nh*N, N) f32
         s = s.reshape(csz, nh, n, n) + rpb32[None]
         if shifted:
             # NB slice+None indexing lowers to an unsupported Mosaic gather
             s = s + mchunk.reshape(csz, 1, n, n).astype(jnp.float32)
-        s = s.reshape(csz * nh, n, n)
+        s = s.reshape(csz, nh * n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-        vm = (v[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
-            csz * nh, n, c)
-        av = _bdot(p, vm)  # (csz*nh, N, C) f32; heads occupy disjoint C
-        t = jnp.sum(av.reshape(csz, nh, n, c), axis=1).astype(cdt)
+        att = _bdot(p, v)  # (csz, nh*N, C) f32; head h valid in its C slice
+        t = jnp.sum(att.reshape(csz, nh, n, c) * hm[None, :, None, :],
+                    axis=1).astype(cdt)
         o = (_dot(t.reshape(csz * n, c), proj_w) + pd["proj_b"]).astype(cdt)
         return o.reshape(csz, n, c)
 
@@ -255,7 +293,7 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
         def chunk(i, _):
             w0 = i * csz
             tchunk = scratch["wa"][pl.ds(w0, csz)]
-            mchunk = mask[pl.ds(w0, csz)] if shifted else None
+            mchunk = mask[pl.ds(w0 % nwi, csz)] if shifted else None
             scratch["wb"][pl.ds(w0, csz)] = attend(tchunk, mchunk)
             return 0
         jax.lax.fori_loop(0, nw // csz, chunk, 0)
@@ -264,25 +302,26 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
         def chunk(i, out_buf):
             w0 = i * csz
             tchunk = jax.lax.dynamic_slice(tok, (w0, 0, 0), (csz, n, c))
-            mchunk = (jax.lax.dynamic_slice(mask, (w0, 0, 0), (csz, n, n))
+            mchunk = (jax.lax.dynamic_slice(mask, (w0 % nwi, 0, 0), (csz, n, n))
                       if shifted else None)
             return jax.lax.dynamic_update_slice(
                 out_buf, attend(tchunk, mchunk), (w0, 0, 0))
         out = jax.lax.fori_loop(
             0, nw // csz, chunk, jnp.zeros((nw, n, c), cdt))
-    y = _unwindow_tokens(out, dims)
+    y = _unwindow_tokens(out, g, dims)
     if shifted:
-        y = jnp.roll(y, (dims.shift, dims.shift), axis=(0, 1))
+        y = jnp.roll(y, (dims.shift, dims.shift), axis=(1, 2))
     return y, xhat1, inv1
 
 
 def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
     """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows."""
     if tch is None:
-        tch = _env_int("SEI_TRUNK_TCH", 384)
+        tch = _env_int("SEI_TRUNK_TCH", 768)
     cdt = x2.dtype
+    g = x2.shape[0]
     c = dims.c
-    flat32 = x2.astype(jnp.float32).reshape(dims.h * dims.w, c)
+    flat32 = x2.astype(jnp.float32).reshape(g * dims.h * dims.w, c)
     nt = flat32.shape[0]
     csz = _chunk_size(nt, tch)
     fc1_w = pd["fc1_w"].astype(cdt)
@@ -291,8 +330,8 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
     def ff(chunk32):
         z32, _, _ = _ln_fwd(chunk32, pd["ln2_s"], pd["ln2_b"])
         h32 = _dot(z32.astype(cdt), fc1_w) + pd["fc1_b"]
-        g = _gelu_exact(h32).astype(cdt)
-        return (_dot(g, fc2_w) + pd["fc2_b"]).astype(cdt)
+        gelu = _gelu_exact(h32).astype(cdt)
+        return (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
 
     if scratch is not None:
         scratch["f1"][...] = flat32
@@ -310,37 +349,45 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
             return jax.lax.dynamic_update_slice(out_buf, m, (t0, 0))
         out = jax.lax.fori_loop(
             0, nt // csz, chunk, jnp.zeros((nt, c), cdt))
-    return out.reshape(dims.h, dims.w, c)
+    return out.reshape(g, dims.h, dims.w, c)
 
 
-def _block_fwd_image(x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
+def _block_fwd_image(x, pd, rpb_d, mask, dpm_attn, dpm_mlp, dims: TrunkDims,
                      shifted: bool, scratch=None):
-    """One SwinBlock on one image tile (H, W, C)."""
+    """One SwinBlock on one image group (G, H, W, C).
+
+    ``dpm_attn``/``dpm_mlp``: per-image drop-path keep factors, broadcastable
+    against (G, H, W, C) - independent per residual branch (matching the
+    unfused DropPath's two make_rng draws per block).
+    """
     y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
                                scratch=scratch)
-    x2 = (x.astype(jnp.float32) + dpm_bd * y.astype(jnp.float32)).astype(x.dtype)
+    x2 = (x.astype(jnp.float32) + dpm_attn * y.astype(jnp.float32)).astype(x.dtype)
     m = _mlp_branch_fwd(x2, pd, dims, scratch=scratch)
-    return (x2.astype(jnp.float32) + dpm_bd * m.astype(jnp.float32)).astype(x.dtype)
+    return (x2.astype(jnp.float32) + dpm_mlp * m.astype(jnp.float32)).astype(x.dtype)
 
 
-def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
-                     shifted: bool, wch: int = None, tch: int = None,
-                     scratch=None):
-    """Backward of one block for one image; recomputes internals chunked
-    (remat style).  Chunk loops carry only the f32 grad accumulators; bulk
-    buffers stage through ``scratch`` refs on the kernel path.
+def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_attn, dpm_mlp,
+                     dims: TrunkDims, shifted: bool, wch: int = None,
+                     tch: int = None, scratch=None):
+    """Backward of one block for one image group; recomputes internals
+    chunked (remat style).  Chunk loops carry only the f32 grad
+    accumulators; bulk buffers stage through ``scratch`` refs on the kernel
+    path.
 
     Returns (dx, grads dict (f32, unstacked), drpb_d (nh, N, N) f32).
     """
     if wch is None:
-        wch = _env_int("SEI_TRUNK_WCH", 4)
+        wch = _env_int("SEI_TRUNK_WCH", 12)
     if tch is None:
-        tch = _env_int("SEI_TRUNK_TCH", 384)
+        tch = _env_int("SEI_TRUNK_TCH", 768)
     cdt = x.dtype
+    g = x.shape[0]
     c = dims.c
     hd = c // dims.nh
     ch = dims.ch
     n = dims.ws * dims.ws
+    nwi = (dims.h // dims.ws) * (dims.w // dims.ws)
     qkv_w = pd["qkv_w"].astype(cdt)
     proj_w = pd["proj_w"].astype(cdt)
     fc1_w = pd["fc1_w"].astype(cdt)
@@ -353,13 +400,13 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
     y_attn, xhat1, inv1 = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
                                            scratch=scratch)
     x2 = (x.astype(jnp.float32)
-          + dpm_bd * y_attn.astype(jnp.float32)).astype(cdt)
+          + dpm_attn * y_attn.astype(jnp.float32)).astype(cdt)
 
     do32 = dout.astype(jnp.float32)
 
     # ---- MLP branch backward (chunked over token rows) ---------------------
-    x2flat32 = x2.astype(jnp.float32).reshape(dims.h * dims.w, c)
-    dmflat = (dpm_bd * do32).reshape(dims.h * dims.w, c)
+    x2flat32 = x2.astype(jnp.float32).reshape(g * dims.h * dims.w, c)
+    dmflat = (dpm_mlp * do32).reshape(g * dims.h * dims.w, c)
     nt = x2flat32.shape[0]
     csz = _chunk_size(nt, tch)
 
@@ -367,8 +414,8 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
         z32, xhat2, inv2 = _ln_fwd(x2c, pd["ln2_s"], pd["ln2_b"])
         zc = z32.astype(cdt)
         h32 = _dot(zc, fc1_w) + pd["fc1_b"]
-        g = _gelu_exact(h32).astype(cdt)
-        g_fc2w = _dot(g, dm.astype(cdt), transpose_a=True)
+        gelu = _gelu_exact(h32).astype(cdt)
+        g_fc2w = _dot(gelu, dm.astype(cdt), transpose_a=True)
         g_fc2b = jnp.sum(dm, axis=0)
         dg = _dot(dm.astype(cdt), fc2_w, transpose_b=True)
         dh = dg * _gelu_grad(h32)
@@ -392,7 +439,7 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
             dx2_c, gs = mlp_bwd(scratch["f1"][pl.ds(t0, csz)],
                                 scratch["f2"][pl.ds(t0, csz)])
             scratch["f3"][pl.ds(t0, csz)] = dx2_c
-            return tuple(a + g for a, g in zip(accs, gs))
+            return tuple(a + gg for a, gg in zip(accs, gs))
 
         accs = jax.lax.fori_loop(0, nt // csz, mlp_chunk, mlp_init)
         dx2_b = scratch["f3"][...]
@@ -404,30 +451,30 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
                 jax.lax.dynamic_slice(x2flat32, (t0, 0), (csz, c)),
                 jax.lax.dynamic_slice(dmflat, (t0, 0), (csz, c)))
             buf = jax.lax.dynamic_update_slice(buf, dx2_c, (t0, 0))
-            return (buf, tuple(a + g for a, g in zip(accs, gs)))
+            return (buf, tuple(a + gg for a, gg in zip(accs, gs)))
 
         dx2_b, accs = jax.lax.fori_loop(
             0, nt // csz, mlp_chunk,
             (jnp.zeros((nt, c), z32_), mlp_init))
     (gr["fc1_w"], gr["fc1_b"], gr["fc2_w"], gr["fc2_b"],
      gr["ln2_s"], gr["ln2_b"]) = accs
-    dx2 = do32 + dx2_b.reshape(dims.h, dims.w, c)
+    dx2 = do32 + dx2_b.reshape(g, dims.h, dims.w, c)
 
     # ---- attention branch backward (chunked over window groups) ------------
-    dy = (dpm_bd * dx2).astype(cdt)
+    dy = (dpm_attn * dx2).astype(cdt)
     if shifted:
-        dy = jnp.roll(dy, (-dims.shift, -dims.shift), axis=(0, 1))
-    do_tok = _window_tokens(dy, dims)  # (nW, N, C)
+        dy = jnp.roll(dy, (-dims.shift, -dims.shift), axis=(1, 2))
+    do_tok = _window_tokens(dy, dims)  # (G*nW, N, C)
 
     # recompute LN1 output tokens (shared by all chunks)
     a32 = xhat1 * pd["ln1_s"] + pd["ln1_b"]
     a = a32.astype(cdt)
     if shifted:
-        a = jnp.roll(a, (-dims.shift, -dims.shift), axis=(0, 1))
+        a = jnp.roll(a, (-dims.shift, -dims.shift), axis=(1, 2))
     a_tok = _window_tokens(a, dims)
 
     nw = a_tok.shape[0]
-    wcs = _chunk_size(nw, wch)
+    wcs = _chunk_size(nwi, wch)
 
     nh = dims.nh
     hm = _head_mask(nh, c)
@@ -439,50 +486,40 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
         k = qkv[:, c : 2 * c].reshape(wcs, n, c)
         v = qkv[:, 2 * c :].reshape(wcs, n, c)
         hmc = hm[None, :, None, :].astype(cdt)
-        qm = (q[:, None] * hmc).reshape(wcs * nh, n, c)
-        kb = jnp.broadcast_to(k[:, None], (wcs, nh, n, c)).reshape(
-            wcs * nh, n, c)
-        s = _bdot(qm, kb, transpose_b=True) * (hd ** -0.5)
+        qm = (q[:, None] * hmc).reshape(wcs, nh * n, c)
+        s = _bdot(qm, k, transpose_b=True) * (hd ** -0.5)  # (wcs, nh*N, N)
         s = s.reshape(wcs, nh, n, n) + rpb32[None]
         if shifted:
             s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
-        s = s.reshape(wcs * nh, n, n)
+        s = s.reshape(wcs, nh * n, n)
         s = s - jnp.max(s, axis=-1, keepdims=True)
         e = jnp.exp(s)
         p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
         pc = p.astype(cdt)
-        vm = (v[:, None] * hmc).reshape(wcs * nh, n, c)
-        av = _bdot(pc, vm)
-        t = jnp.sum(av.reshape(wcs, nh, n, c), axis=1).astype(cdt)
+        att = _bdot(pc, v)  # (wcs, nh*N, C) f32
+        t = jnp.sum(att.reshape(wcs, nh, n, c) * hm[None, :, None, :],
+                    axis=1).astype(cdt)
 
         doc = doc_.reshape(wcs * n, c)
         g_projw = _dot(t.reshape(wcs * n, c), doc.astype(cdt),
                        transpose_a=True)
         g_projb = jnp.sum(doc.astype(jnp.float32), axis=0)
         dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)
-        # d(av_h) = dt .* m_h (head h owns its channel slice)
+        # d(att_h) = dt .* m_h (head h owns its channel slice)
         davm = (dt.astype(cdt).reshape(wcs, n, c)[:, None] * hmc).reshape(
-            wcs * nh, n, c)
-        vb = jnp.broadcast_to(v[:, None], (wcs, nh, n, c)).reshape(
-            wcs * nh, n, c)
-        # dp[b, i, j] = sum_c davm[b, i, c] v[b, j, c] (mask already in davm)
-        dp = _bdot(davm, vb, transpose_b=True)
-        # dv = sum_h p_h^T @ dav_h (rows land in disjoint channels)
-        dvm = jax.lax.dot_general(
-            pc, davm, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)  # (wcs*nh, n, c)
-        dv = jnp.sum(dvm.reshape(wcs, nh, n, c), axis=1)
+            wcs, nh * n, c)
+        # dp[b, hN+i, j] = sum_c davm[b, hN+i, c] v[b, j, c]
+        dp = _bdot(davm, v, transpose_b=True)  # (wcs, nh*N, N) f32
+        # dv[b, j, c] = sum_{h,i} p_h[i,j] dav_h[i,c]: contract the row dim
+        dv = _bdot_rows(pc, davm)  # (wcs, N, C) f32
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         g_rpb = jnp.sum(ds.reshape(wcs, nh, n, n), axis=0)
         dsc = ds.astype(cdt)
-        # dq = sum_h (ds_h @ k) .* m_h ; dk = sum_h ds_h^T @ (q .* m_h)
-        dqm = _bdot(dsc, kb) * (hd ** -0.5)  # (wcs*nh, n, c)
+        # dq = (ds_h @ k) .* m_h ; dk = sum_{h,i} ds_h[i,j] qm_h[i,c]
+        dqm = _bdot(dsc, k) * (hd ** -0.5)  # (wcs, nh*N, C) f32
         dq = jnp.sum(dqm.reshape(wcs, nh, n, c)
                      * hm[None, :, None, :], axis=1)
-        dkm = jax.lax.dot_general(
-            dsc, qm, (((1,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * (hd ** -0.5)
-        dk = jnp.sum(dkm.reshape(wcs, nh, n, c), axis=1)
+        dk = _bdot_rows(dsc, qm) * (hd ** -0.5)  # (wcs, N, C) f32
         dqkv = jnp.concatenate(
             [dq.astype(cdt).reshape(wcs * n, c),
              dk.astype(cdt).reshape(wcs * n, c),
@@ -502,11 +539,11 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
 
         def attn_chunk(i, accs):
             w0 = i * wcs
-            mchunk = mask[pl.ds(w0, wcs)] if shifted else None
+            mchunk = mask[pl.ds(w0 % nwi, wcs)] if shifted else None
             da_c, gs = attn_bwd(scratch["wa"][pl.ds(w0, wcs)],
                                 scratch["wb"][pl.ds(w0, wcs)], mchunk)
             scratch["wc"][pl.ds(w0, wcs)] = da_c
-            return tuple(a + g for a, g in zip(accs, gs))
+            return tuple(a + gg for a, gg in zip(accs, gs))
 
         accs = jax.lax.fori_loop(0, nw // wcs, attn_chunk, attn_init)
         da_w = scratch["wc"][...]
@@ -514,26 +551,26 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_bd, dims: TrunkDims,
         def attn_chunk(i, carry):
             buf, accs = carry
             w0 = i * wcs
-            mchunk = (jax.lax.dynamic_slice(mask, (w0, 0, 0), (wcs, n, n))
+            mchunk = (jax.lax.dynamic_slice(mask, (w0 % nwi, 0, 0), (wcs, n, n))
                       if shifted else None)
             da_c, gs = attn_bwd(
                 jax.lax.dynamic_slice(a_tok, (w0, 0, 0), (wcs, n, c)),
                 jax.lax.dynamic_slice(do_tok, (w0, 0, 0), (wcs, n, c)),
                 mchunk)
             buf = jax.lax.dynamic_update_slice(buf, da_c, (w0, 0, 0))
-            return (buf, tuple(a + g for a, g in zip(accs, gs)))
+            return (buf, tuple(a + gg for a, gg in zip(accs, gs)))
 
         da_w, accs = jax.lax.fori_loop(
             0, nw // wcs, attn_chunk,
             (jnp.zeros((nw, n, c), cdt), attn_init))
     (gr["qkv_w"], gr["qkv_b"], gr["proj_w"], gr["proj_b"], drpb) = accs
 
-    da = _unwindow_tokens(da_w, dims)
+    da = _unwindow_tokens(da_w, g, dims)
     if shifted:
-        da = jnp.roll(da, (dims.shift, dims.shift), axis=(0, 1))
+        da = jnp.roll(da, (dims.shift, dims.shift), axis=(1, 2))
     da32 = da.astype(jnp.float32)
-    gr["ln1_s"] = jnp.sum(da32 * xhat1, axis=(0, 1))
-    gr["ln1_b"] = jnp.sum(da32, axis=(0, 1))
+    gr["ln1_s"] = jnp.sum(da32 * xhat1, axis=(0, 1, 2))
+    gr["ln1_b"] = jnp.sum(da32, axis=(0, 1, 2))
     dx = dx2 + _ln_bwd(da32, xhat1, inv1, pd["ln1_s"])
     return dx.astype(cdt), gr, drpb
 
@@ -549,18 +586,19 @@ def _slice_pd(params, d):
 
 
 def trunk_reference(x, params, rpb, mask, dpm, *, num_heads, window_size):
-    """Batched trunk forward via the same per-image block function."""
+    """Batched trunk forward via the same per-group block function (G=1)."""
     dims = make_dims(x.shape, params, num_heads, window_size)
     mask_arr = _mask_array(mask, dims)
 
     def per_image(xi, dpm_i):
+        xg = xi[None]
         for d in range(dims.d):
             shifted = (d % 2 == 1) and dims.shift > 0
-            xi = _block_fwd_image(xi, _slice_pd(params, d), rpb[d], mask_arr,
-                                  dpm_i[d], dims, shifted)
-        return xi
+            xg = _block_fwd_image(xg, _slice_pd(params, d), rpb[d], mask_arr,
+                                  dpm_i[d, 0], dpm_i[d, 1], dims, shifted)
+        return xg[0]
 
-    return jax.vmap(per_image, in_axes=(0, 1))(x, dpm)
+    return jax.vmap(per_image, in_axes=(0, 2))(x, dpm)
 
 
 def _mask_array(mask, dims: TrunkDims):
@@ -579,7 +617,7 @@ def _mask_array(mask, dims: TrunkDims):
 # Mosaic requires the last two dims of every block shape to be divisible by
 # (8, 128) or equal to the full array dims.  Stacked leaves are therefore
 # reshaped (D, ...) -> (P, 2, ...) so the per-pair block (1, 2, ...) always
-# ends in full dimensions; the drop-path mask rides in SMEM (scalar reads
+# ends in full dimensions; the drop-path masks ride in SMEM (scalar reads
 # with dynamic indices).
 
 _W_ORDER = PARAM_LEAVES  # ref order for positional plumbing
@@ -588,6 +626,21 @@ _W_ORDER = PARAM_LEAVES  # ref order for positional plumbing
 def _pairize(arr):
     """(D, ...) -> (D//2, 2, ...)."""
     return arr.reshape((arr.shape[0] // 2, 2) + arr.shape[1:])
+
+
+def _dpm_group(dpm_ref, d, branch, ib, dims: TrunkDims):
+    """(G, 1, 1, 1) f32 keep-factor vector from SMEM scalars.
+
+    Mosaic cannot form a vector from scalars directly; build it as a sum of
+    iota-one-hot selects (G is small and static).
+    """
+    giota = jax.lax.broadcasted_iota(jnp.int32, (dims.g, 1, 1, 1), 0)
+    acc = jnp.zeros((dims.g, 1, 1, 1), jnp.float32)
+    for gg in range(dims.g):
+        acc = acc + jnp.where(
+            giota == gg, dpm_ref[d, branch, ib * dims.g + gg], 0.0
+        )
+    return acc
 
 
 def _fwd_kernel(dims: TrunkDims,
@@ -603,21 +656,23 @@ def _fwd_kernel(dims: TrunkDims,
 
     @pl.when(ip == 0)
     def _():
-        x_scr[...] = x_ref[0]
+        x_scr[...] = x_ref[...]
 
     x = x_scr[...]
     for j in range(2):  # (no-shift, shift) pair
-        xs_ref[j, 0] = x
+        xs_ref[j] = x
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
-        dpm_bd = dpm_ref[2 * ip + j, ib]
-        x = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_bd,
+        d_idx = 2 * ip + j
+        dpm_a = _dpm_group(dpm_ref, d_idx, 0, ib, dims)
+        dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
+        x = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m,
                              dims, shifted, scratch=scratch)
     x_scr[...] = x
 
     @pl.when(ip == npairs - 1)
     def _():
-        y_ref[0] = x
+        y_ref[...] = x
 
 
 def _bwd_kernel(dims: TrunkDims,
@@ -635,17 +690,19 @@ def _bwd_kernel(dims: TrunkDims,
 
     @pl.when(ip == 0)
     def _():
-        dx_scr[...] = dy_ref[0]
+        dx_scr[...] = dy_ref[...]
 
     dx = dx_scr[...]
     for j in (1, 0):  # reverse within the pair
-        x_in = xs_ref[j, 0]
+        x_in = xs_ref[j]
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
-        dpm_bd = dpm_ref[2 * pair + j, ib]
+        d_idx = 2 * pair + j
+        dpm_a = _dpm_group(dpm_ref, d_idx, 0, ib, dims)
+        dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
         dx, gr, drpb_d = _block_bwd_image(
-            dx, x_in, pd, rpb_ref[0, j], mask_ref, dpm_bd, dims, shifted,
-            scratch=scratch)
+            dx, x_in, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m, dims,
+            shifted, scratch=scratch)
         for k in _W_ORDER:
             dw_refs[k][0, 0, j] = gr[k].astype(dw_refs[k].dtype)
         drpb_ref[0, 0, j] = drpb_d
@@ -653,7 +710,7 @@ def _bwd_kernel(dims: TrunkDims,
 
     @pl.when(ip == npairs - 1)
     def _():
-        dx_ref[0] = dx
+        dx_ref[...] = dx
 
 
 def _pair_spec(shp_pairized, index_map):
@@ -668,22 +725,23 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
     npairs = dims.d // 2
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
+    g = dims.g
     pparams = {k: _pairize(params[k]) for k in _W_ORDER}
     prpb = _pairize(rpb)
     fwd_im = lambda ib, ip: (ip, 0)
     in_specs = [
-        pl.BlockSpec((1, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
+        pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         *[_pair_spec(pparams[k].shape, fwd_im) for k in _W_ORDER],
         _pair_spec(prpb.shape, fwd_im),
         pl.BlockSpec((nw, n, n), lambda ib, ip: (0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.SMEM),  # dpm (D, B), dynamic reads
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # dpm (D, 2, B), dynamic reads
     ]
     out_specs = (
-        pl.BlockSpec((1, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
+        pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, 1, dims.h, dims.w, dims.c),
+        pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
                      lambda ib, ip: (ip, ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     )
@@ -694,19 +752,19 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
     mask_arr = _mask_array(mask, dims)
     y, xs = pl.pallas_call(
         functools.partial(_fwd_kernel, dims),
-        grid=(dims.b, npairs),
+        grid=(dims.b // g, npairs),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((dims.h, dims.w, dims.c), x.dtype),
-            pltpu.VMEM((nw, n, dims.c), x.dtype),   # wa: window tokens
-            pltpu.VMEM((nw, n, dims.c), x.dtype),   # wb: attn out tokens
-            pltpu.VMEM((dims.h * dims.w, dims.c), x.dtype),  # ta: mlp out
-            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f1
+            pltpu.VMEM((g, dims.h, dims.w, dims.c), x.dtype),
+            pltpu.VMEM((g * nw, n, dims.c), x.dtype),   # wa: window tokens
+            pltpu.VMEM((g * nw, n, dims.c), x.dtype),   # wb: attn out tokens
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), x.dtype),  # ta: mlp out
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f1
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm)
     return y, xs
@@ -717,25 +775,27 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
     npairs = dims.d // 2
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
+    g = dims.g
+    nb = dims.b // g
     pparams = {k: _pairize(params[k]) for k in _W_ORDER}
     prpb = _pairize(rpb)
     rev_im = lambda ib, ip: (npairs - 1 - ip, 0)
     in_specs = [
-        pl.BlockSpec((1, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
+        pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         *[_pair_spec(pparams[k].shape, rev_im) for k in _W_ORDER],
         _pair_spec(prpb.shape, rev_im),
         pl.BlockSpec((nw, n, n), lambda ib, ip: (0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dpm
-        pl.BlockSpec((2, 1, dims.h, dims.w, dims.c),
+        pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
                      lambda ib, ip: (npairs - 1 - ip, ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    # outputs: dx (B,...); PER-IMAGE drpb and weight grads (B, P, 2, ...)
-    # that XLA sum-reduces over images afterwards (keeps VMEM small).
+    # outputs: dx (B,...); PER-GROUP drpb and weight grads (B//G, P, 2, ...)
+    # that XLA sum-reduces over groups afterwards (keeps VMEM small).
     out_specs = [
-        pl.BlockSpec((1, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
+        pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, 2, dims.nh, n, n),
                      lambda ib, ip: (ib, npairs - 1 - ip, 0, 0, 0, 0),
@@ -743,7 +803,7 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
     ]
     out_shapes = [
         jax.ShapeDtypeStruct((dims.b, dims.h, dims.w, dims.c), dy.dtype),
-        jax.ShapeDtypeStruct((dims.b, npairs, 2, dims.nh, n, n), jnp.float32),
+        jax.ShapeDtypeStruct((nb, npairs, 2, dims.nh, n, n), jnp.float32),
     ]
     for k in _W_ORDER:
         pshp = pparams[k].shape  # (P, 2, ...)
@@ -753,26 +813,26 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
             (lambda m: (lambda ib, ip: (ib, npairs - 1 - ip, 0) + (0,) * m))(nd),
             memory_space=pltpu.VMEM))
         out_shapes.append(jax.ShapeDtypeStruct(
-            (dims.b,) + pshp, jnp.float32))
+            (nb,) + pshp, jnp.float32))
 
     mask_arr = _mask_array(mask, dims)
     outs = pl.pallas_call(
         functools.partial(_bwd_kernel, dims),
-        grid=(dims.b, npairs),
+        grid=(nb, npairs),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=[
-            pltpu.VMEM((dims.h, dims.w, dims.c), dy.dtype),
-            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wa
-            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wb
-            pltpu.VMEM((nw, n, dims.c), dy.dtype),  # wc
-            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f1
-            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f2
-            pltpu.VMEM((dims.h * dims.w, dims.c), jnp.float32),  # f3
+            pltpu.VMEM((g, dims.h, dims.w, dims.c), dy.dtype),
+            pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wa
+            pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wb
+            pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wc
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f1
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f2
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f3
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs)
     dx = outs[0]
@@ -789,23 +849,24 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7, 8))
 def _trunk_pallas(x, params, rpb, mask, dpm, num_heads, window_size,
-                  interpret):
-    dims = make_dims(x.shape, params, num_heads, window_size)
+                  interpret, g):
+    dims = make_dims(x.shape, params, num_heads, window_size, g=g)
     y, _ = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
     return y
 
 
-def _trunk_fwd(x, params, rpb, mask, dpm, num_heads, window_size, interpret):
-    dims = make_dims(x.shape, params, num_heads, window_size)
+def _trunk_fwd(x, params, rpb, mask, dpm, num_heads, window_size, interpret,
+               g):
+    dims = make_dims(x.shape, params, num_heads, window_size, g=g)
     y, xs = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
     return y, (x.shape, params, rpb, dpm, xs)
 
 
-def _trunk_bwd(mask, num_heads, window_size, interpret, res, dy):
+def _trunk_bwd(mask, num_heads, window_size, interpret, g, res, dy):
     x_shape, params, rpb, dpm, xs = res
-    dims = make_dims(x_shape, params, num_heads, window_size)
+    dims = make_dims(x_shape, params, num_heads, window_size, g=g)
     dx, dparams, drpb = _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims,
                                     interpret=interpret)
     return dx, dparams, drpb.astype(rpb.dtype), jnp.zeros_like(dpm)
@@ -824,13 +885,20 @@ def swin_trunk(
     num_heads: int,
     window_size: int,
     use_pallas: Optional[bool] = None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """D SwinBlocks on (B, H, W, C); see module docstring for layouts.
 
     ``mask`` must be a trace-time numpy constant (it rides in custom_vjp
-    nondiff_argnums).  Falls back to the pure-JAX reference off-TPU.
+    nondiff_argnums).  Falls back to the pure-JAX reference off-TPU unless
+    ``interpret`` (or env SEI_TRUNK_INTERPRET=1) forces the kernel through
+    the Pallas interpreter - used to exercise the production kernel+sharding
+    composition on the virtual CPU mesh.
     """
+    import os
+
+    if interpret is None:
+        interpret = os.environ.get("SEI_TRUNK_INTERPRET", "") not in ("", "0")
     if use_pallas is None:
         use_pallas = jax.default_backend() in ("tpu", "axon")
     if not use_pallas and not interpret:
@@ -839,5 +907,7 @@ def swin_trunk(
     if mask is not None:
         assert isinstance(mask, np.ndarray), "mask must be a numpy constant"
         mask = np.ascontiguousarray(mask, dtype=np.float32)
+    b, h, w, c = x.shape
+    g = _pick_group(b, h, w, c, x.dtype.itemsize)
     return _trunk_pallas(x, params, rpb.astype(jnp.float32), mask, dpm,
-                         num_heads, window_size, interpret)
+                         num_heads, window_size, interpret, g)

@@ -208,6 +208,11 @@ class Trainer:
                 css=self.css,
                 physics=self.physics,
                 fresh_measurements=self.fresh_measurements,
+                # per-epoch permutation sampling (ref demo/train.py:127's
+                # shuffled DataLoader); the epoch key must not depend on step
+                step=state.step,
+                steps_per_epoch=self.steps_per_epoch,
+                epoch_key=jax.random.fold_in(key, 0x0E90C),
             )
             if self.constrain_batch:
                 x = jax.lax.with_sharding_constraint(x, bsh)

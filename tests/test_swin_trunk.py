@@ -82,7 +82,7 @@ def setup():
     _, flax_params, flax_apply = _flax_blocks(key)
     params, rpb = _stack_params(flax_params)
     mask = shift_attn_mask(H, W, WS, WS // 2)
-    dpm = jnp.ones((D, B), jnp.float32)
+    dpm = jnp.ones((D, 2, B), jnp.float32)
     x = jax.random.normal(jax.random.PRNGKey(1), (B, H, W, C), jnp.float32)
     return x, params, rpb, mask, dpm, flax_apply
 
@@ -127,6 +127,39 @@ def test_kernel_grads_match_reference(setup):
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_kernel_multi_image_groups(setup, monkeypatch):
+    """G>1 (multiple images per grid step) == G=1 == reference."""
+    x, params, rpb, mask, dpm, _ = setup
+    want = trunk_reference(x, params, rpb, mask, dpm,
+                           num_heads=NH, window_size=WS)
+    for g in (1, 2):
+        monkeypatch.setenv("SEI_TRUNK_G", str(g))
+        got = swin_trunk(x, params, rpb, mask, dpm,
+                         num_heads=NH, window_size=WS,
+                         use_pallas=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_per_branch_drop_path_masks(setup):
+    """dpm axis 1 = (attn, mlp) masks act on DIFFERENT residual branches:
+    zeroing one branch must differ from zeroing the other (the reference's
+    DropPath draws independently per call)."""
+    x, params, rpb, mask, _, _ = setup
+    base = np.ones((D, 2, B), np.float32)
+    attn_off = base.copy(); attn_off[:, 0] = 0.0
+    mlp_off = base.copy(); mlp_off[:, 1] = 0.0
+    run = lambda m: np.asarray(trunk_reference(
+        x, params, rpb, mask, jnp.asarray(m), num_heads=NH, window_size=WS))
+    ya, ym = run(attn_off), run(mlp_off)
+    assert not np.allclose(ya, ym)
+    # and the kernel honors the same per-branch semantics
+    ka = np.asarray(swin_trunk(x, params, rpb, mask, jnp.asarray(attn_off),
+                               num_heads=NH, window_size=WS,
+                               use_pallas=True, interpret=True))
+    np.testing.assert_allclose(ka, ya, rtol=2e-5, atol=2e-5)
 
 
 def test_kernel_no_shift_small_image(setup):
@@ -192,3 +225,52 @@ class TestModelIntegration:
         y = fused.apply({"params": params}, x, False,
                         rngs={"dropout": jax.random.PRNGKey(3)})
         assert np.isfinite(np.asarray(y)).all()
+
+
+def test_fused_trunk_under_mesh_interpret(monkeypatch):
+    """The PRODUCTION composition - fused Pallas trunk (interpret mode on
+    CPU) inside a jitted, batch-sharded train step over the 8-device mesh -
+    compiles, executes, and matches the unfused model's loss/grads.
+
+    Covers VERDICT item: the default-on kernel had never executed under a
+    mesh (the CPU dryrun falls back to pure JAX without this env knob)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from sei_tpu.models.swinir import SwinIR
+    from sei_tpu.parallel import make_mesh, batch_sharding, replicate
+
+    monkeypatch.setenv("SEI_TRUNK_INTERPRET", "1")
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    cfg = dict(img_size=16, embed_dim=16, depths=(2,), num_heads=(2,),
+               window_size=4, mlp_ratio=2.0, drop_path_rate=0.0,
+               upsampler=None)
+    fused = SwinIR(fused_trunk=True, **cfg)
+    unfused = SwinIR(fused_trunk=False, **cfg)
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 3, 16, 16))
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (8, 3, 16, 16))
+    params = unfused.init(jax.random.PRNGKey(1), x, True)["params"]
+
+    params_r = replicate(mesh, params)
+    x_s = jax.device_put(x, batch_sharding(mesh))
+    tgt_s = jax.device_put(tgt, batch_sharding(mesh))
+
+    def make_step(model):
+        @jax.jit
+        def step(p, xb, tb):
+            def loss(p):
+                out = model.apply({"params": p}, xb, True)
+                return jnp.mean((out - tb) ** 2)
+            return jax.value_and_grad(loss)(p)
+        return step
+
+    loss_f, grads_f = make_step(fused)(params_r, x_s, tgt_s)
+    monkeypatch.delenv("SEI_TRUNK_INTERPRET")
+    loss_u, grads_u = make_step(unfused)(params_r, x_s, tgt_s)
+    assert np.isclose(float(loss_f), float(loss_u), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(grads_f),
+                    jax.tree_util.tree_leaves(grads_u)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-6)
+    # the loss really was computed from sharded inputs over 8 devices
+    assert len(x_s.sharding.device_set) == 8

@@ -106,6 +106,75 @@ def test_trainer_sharded_batch_over_mesh(tiny_setup):
     assert len(leaf.sharding.device_set) == 8
 
 
+def test_sharded_step_matches_single_device(tiny_setup):
+    """The psum/sharding path must be a pure refactor: one train step on a
+    1-device mesh and on the 8-device mesh, same params/keys, must produce
+    the same loss and updated params (the DataParallel capability at ref
+    src/models/__init__.py:142-145, rebuilt as SPMD batch sharding)."""
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    loss_fn = get_loss(method="proposed", physics=physics, crop_size=32)
+
+    def one_step(mesh):
+        trainer = Trainer(
+            model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+            batch_size=8, epochs=1, lr=1e-4, crop_size=64, mesh=mesh,
+        )
+        state = trainer.init_state()
+        new_state, loss = trainer._get_step(0)(state, cache, trainer.base_key)
+        return float(loss), jax.device_get(new_state.params)
+
+    loss1, params1 = one_step(make_mesh(jax.devices()[:1]))
+    loss8, params8 = one_step(make_mesh())
+    assert np.isclose(loss1, loss8, rtol=1e-5), (loss1, loss8)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params1), jax.tree_util.tree_leaves(params8)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_epoch_permutation_sampling():
+    """Per-epoch permutation through the PUBLIC sampler API: within one
+    epoch every image is visited exactly once, and epochs reshuffle (ref
+    demo/train.py:127 shuffled DataLoader semantics)."""
+    n, bs, size = 8, 2, 16
+    steps_per_epoch = n // bs
+    # n distinct constant images: pixel value identifies the source index
+    vals = (np.arange(n, dtype=np.float32) + 1.0) / (n + 1.0)
+    x = jnp.asarray(np.broadcast_to(vals[:, None, None, None], (n, 3, size, size)))
+    cache = DeviceDataCache(
+        x=x, y=x,
+        heights=jnp.full((n,), size, jnp.int32),
+        widths=jnp.full((n,), size, jnp.int32),
+        ids=jnp.arange(n), rate=1,
+    )
+    key = jax.random.PRNGKey(0)
+    epoch_key = jax.random.fold_in(key, 0x0E90C)
+
+    def ids_at(step):
+        xb, _ = sample_train_batch(
+            cache, jax.random.fold_in(key, step), batch_size=bs,
+            crop_size=size, step=jnp.asarray(step),
+            steps_per_epoch=steps_per_epoch, epoch_key=epoch_key,
+        )
+        v = np.asarray(xb[:, 0, 0, 0])
+        return np.rint(v * (n + 1.0) - 1.0).astype(int)
+
+    seen_e0 = np.concatenate([ids_at(s) for s in range(steps_per_epoch)])
+    assert sorted(seen_e0.tolist()) == list(range(n)), seen_e0
+    seen_e1 = np.concatenate(
+        [ids_at(s) for s in range(steps_per_epoch, 2 * steps_per_epoch)]
+    )
+    assert sorted(seen_e1.tolist()) == list(range(n)), seen_e1
+    assert not np.array_equal(seen_e0, seen_e1)  # fresh shuffle per epoch
+
+
 def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
     cache = _make_cache(tiny_setup, physics)
