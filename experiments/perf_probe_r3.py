@@ -72,8 +72,9 @@ def main():
 
     x, params, rpb, mask, dpm = make_inputs(b)
 
-    def run_cfg(g, wch, tch):
+    def run_cfg(g, wch, tch, g_bwd=None):
         os.environ["SEI_TRUNK_G"] = str(g)
+        os.environ["SEI_TRUNK_G_BWD"] = str(g_bwd if g_bwd else max(g // 2, 1))
         os.environ["SEI_TRUNK_WCH"] = str(wch)
         os.environ["SEI_TRUNK_TCH"] = str(tch)
 

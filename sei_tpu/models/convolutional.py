@@ -24,6 +24,13 @@ import jax
 import jax.numpy as jnp
 
 
+# Init parity with torch Conv2d defaults (kaiming_uniform(a=sqrt(5)) =
+# Uniform with variance 1/(3*fan_in)); flax's lecun_normal is 3x wider,
+# which measurably inflates this residual UNet's output at init (the
+# reference model starts ~= identity, ours started ~60x off).
+conv_torch_init = nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
 def _fft_crop_or_pad(xf: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Center-crop or zero-pad a centered (fftshifted) spectrum (NHWC axes 1,2)."""
     _, h, w, _ = xf.shape
@@ -77,11 +84,11 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim)(x)
+        h = nn.Conv(self.dim, (7, 7), padding=3, feature_group_count=self.dim, kernel_init=conv_torch_init)(x)
         h = ChannelLayerNorm()(h)
-        h = nn.Conv(4 * self.dim, (1, 1))(h)
+        h = nn.Conv(4 * self.dim, (1, 1), kernel_init=conv_torch_init)(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Conv(self.dim, (1, 1))(h)
+        h = nn.Conv(self.dim, (1, 1), kernel_init=conv_torch_init)(h)
         return x + h
 
 
@@ -94,7 +101,7 @@ class SpectralDownsample(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = ChannelLayerNorm()(x)
-        x = nn.Conv(self.in_channels * self.rate**2, (1, 1))(x)
+        x = nn.Conv(self.in_channels * self.rate**2, (1, 1), kernel_init=conv_torch_init)(x)
         return ideal_resample(x, 1.0 / self.rate)
 
 
@@ -110,7 +117,7 @@ class SpectralUpsample(nn.Module):
         out_ch = self.out_channels or self.in_channels // self.rate**2
         x = ideal_resample(x, float(self.rate))
         x = ChannelLayerNorm()(x)
-        return nn.Conv(out_ch, (1, 1))(x)
+        return nn.Conv(out_ch, (1, 1), kernel_init=conv_torch_init)(x)
 
 
 class UNet(nn.Module):
@@ -127,7 +134,7 @@ class UNet(nn.Module):
     def __call__(self, x):
         x0 = x
         if self.inout_convs:
-            x = nn.Conv(self.hidden_channels, (3, 3), padding="SAME")(x)
+            x = nn.Conv(self.hidden_channels, (3, 3), padding="SAME", kernel_init=conv_torch_init)(x)
             ch = self.hidden_channels
         else:
             ch = self.in_channels
@@ -156,7 +163,7 @@ class UNet(nn.Module):
             x = conv_seq(x, ch)
 
         if self.inout_convs:
-            x = nn.Conv(self.in_channels, (3, 3), padding="SAME")(x)
+            x = nn.Conv(self.in_channels, (3, 3), padding="SAME", kernel_init=conv_torch_init)(x)
         if self.residual:
             x = x + x0
         return x

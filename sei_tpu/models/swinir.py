@@ -80,6 +80,17 @@ def window_reverse(win: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
     return x.reshape(b, h, w, c)
 
 
+# Init parity with the reference (deepinv SwinIR `_init_weights`): every
+# nn.Linear in the transformer gets trunc_normal(std=0.02) weights and zero
+# bias; convs keep torch's Conv2d default kaiming_uniform(a=sqrt(5)), i.e.
+# Uniform with variance 1/(3*fan_in).  flax defaults (lecun_normal) are ~4x
+# wider at C=180, which measurably changes early training dynamics.
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+conv_torch_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
 class Mlp(nn.Module):
     hidden: int
     out: int
@@ -87,9 +98,11 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = nn.Dense(self.hidden, dtype=self.dtype, kernel_init=trunc02,
+                     name="fc1")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.out, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out, dtype=self.dtype, kernel_init=trunc02,
+                     name="fc2")(x)
         return x
 
 
@@ -109,7 +122,8 @@ class WindowAttention(nn.Module):
         hd = c // nh
         scale = hd**-0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype,
+                       kernel_init=trunc02, name="qkv")(x)
         qkv = qkv.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # (B_, nh, N, hd)
         q = q * scale
@@ -132,7 +146,8 @@ class WindowAttention(nn.Module):
 
         out = window_attention(q, k, v, bias, mask, use_pallas=self.use_pallas)
         out = out.transpose(0, 2, 1, 3).reshape(b_, n, c)
-        return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dense(c, dtype=self.dtype, kernel_init=trunc02,
+                        name="proj")(out)
 
 
 class DropPath(nn.Module):
@@ -368,13 +383,13 @@ class RSTB(nn.Module):
                     name=f"blocks_{i}",
                 )(x, deterministic)
         if self.resi_connection == "1conv":
-            x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv")(x)
+            x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv")(x)
         else:  # 3conv (bottleneck)
-            x = nn.Conv(self.dim // 4, (3, 3), padding="SAME", name="conv_0")(x)
+            x = nn.Conv(self.dim // 4, (3, 3), padding="SAME", kernel_init=conv_torch_init, name="conv_0")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(self.dim // 4, (1, 1), name="conv_2")(x)
+            x = nn.Conv(self.dim // 4, (1, 1), kernel_init=conv_torch_init, name="conv_2")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(self.dim, (3, 3), padding="SAME", name="conv_4")(x)
+            x = nn.Conv(self.dim, (3, 3), padding="SAME", kernel_init=conv_torch_init, name="conv_4")(x)
         return x + res
 
 
@@ -514,39 +529,39 @@ class SwinIR(nn.Module):
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(f)
 
         if self.upsampler == "pixelshuffle":
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
             res = nn.Conv(
                 self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
-                name="conv_after_body"
+                kernel_init=conv_torch_init, name="conv_after_body"
             )(features(feat))
             feat = res + feat
             feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
-                           name="conv_before_upsample_0")(feat)
+                           kernel_init=conv_torch_init, name="conv_before_upsample_0")(feat)
             feat = nn.leaky_relu(feat, 0.01)
             # Upsample tower: x2 stages (+ optional x3 stage), torch order.
             scale = self.upscale
             stage = 0
             while scale % 2 == 0 and scale > 1:
                 feat = nn.Conv(4 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
-                               name=f"upsample_{stage}")(feat)
+                               kernel_init=conv_torch_init, name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 2)
                 scale //= 2
                 stage += 1
             if scale == 3:
                 feat = nn.Conv(9 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
-                               name=f"upsample_{stage}")(feat)
+                               kernel_init=conv_torch_init, name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 3)
             elif scale != 1:
                 raise ValueError(f"unsupported upscale {self.upscale}")
-            out = nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, name="conv_last")(feat)
+            out = nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(feat)
         else:
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, name="conv_first")(x)
+            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
             res = nn.Conv(
                 self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
-                name="conv_after_body"
+                kernel_init=conv_torch_init, name="conv_after_body"
             )(features(feat))
             res = res + feat
-            out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, name="conv_last")(res)
+            out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(res)
 
         out = out / self.img_range + mean
         out = out[:, : h_in * self.upscale, : w_in * self.upscale, :]

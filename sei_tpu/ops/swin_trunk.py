@@ -84,19 +84,22 @@ class TrunkDims(NamedTuple):
     shift: int  # ws//2, or 0 when min(h, w) <= ws (no shifted blocks)
 
 
-def _pick_group(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+def _pick_group(b: int, h: int, w: int, c: int, itemsize: int,
+                budget_mb: int, env_name: str) -> int:
     """Largest divisor of b whose VMEM working set stays under budget.
 
     Per-group bytes ~ 8 activation-sized buffers (x_scr, wa/wb/wc, f1-f3,
-    xs block) in mixed cdt/f32; budget 40 MB leaves room for weights,
-    chunk transients and the compiler's own temporaries under the 64 MB
-    scoped limit.  Overridable via SEI_TRUNK_G.
+    xs block) in mixed cdt/f32; the budget leaves room for weights, chunk
+    transients, double-buffered IO windows and the compiler's temporaries
+    inside the 128 MB physical VMEM.  The backward kernel carries ~2x the
+    scratch of the forward (3 f32 row buffers + 3 token buffers), so it
+    gets a smaller budget.  Overridable via SEI_TRUNK_G / SEI_TRUNK_G_BWD.
     """
-    env = _env_int("SEI_TRUNK_G", 0)
+    env = _env_int(env_name, 0)
     per_image = h * w * c * (4 * itemsize + 4 * 4)  # cdt + f32 buffers
     g = 1
     for cand in range(1, b + 1):
-        if b % cand == 0 and cand * per_image <= 40 * 1024 * 1024:
+        if b % cand == 0 and cand * per_image <= budget_mb * 1024 * 1024:
             g = cand
     if env:
         g = env if b % env == 0 else g
@@ -315,26 +318,31 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
 
 
 def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
-    """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows."""
+    """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows.
+
+    ``scratch["f1"]`` stages x2 in the COMPUTE dtype (x2 is already cdt, so
+    this is exact) and each chunk upcasts to f32 for the LN statistics.
+    """
     if tch is None:
         tch = _env_int("SEI_TRUNK_TCH", 768)
     cdt = x2.dtype
     g = x2.shape[0]
     c = dims.c
-    flat32 = x2.astype(jnp.float32).reshape(g * dims.h * dims.w, c)
-    nt = flat32.shape[0]
+    flat = x2.reshape(g * dims.h * dims.w, c)
+    nt = flat.shape[0]
     csz = _chunk_size(nt, tch)
     fc1_w = pd["fc1_w"].astype(cdt)
     fc2_w = pd["fc2_w"].astype(cdt)
 
-    def ff(chunk32):
-        z32, _, _ = _ln_fwd(chunk32, pd["ln2_s"], pd["ln2_b"])
+    def ff(chunk_cdt):
+        z32, _, _ = _ln_fwd(chunk_cdt.astype(jnp.float32),
+                            pd["ln2_s"], pd["ln2_b"])
         h32 = _dot(z32.astype(cdt), fc1_w) + pd["fc1_b"]
         gelu = _gelu_exact(h32).astype(cdt)
         return (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
 
     if scratch is not None:
-        scratch["f1"][...] = flat32
+        scratch["f1"][...] = flat
 
         def chunk(i, _):
             t0 = i * csz
@@ -345,7 +353,7 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
     else:
         def chunk(i, out_buf):
             t0 = i * csz
-            m = ff(jax.lax.dynamic_slice(flat32, (t0, 0), (csz, c)))
+            m = ff(jax.lax.dynamic_slice(flat, (t0, 0), (csz, c)))
             return jax.lax.dynamic_update_slice(out_buf, m, (t0, 0))
         out = jax.lax.fori_loop(
             0, nt // csz, chunk, jnp.zeros((nt, c), cdt))
@@ -359,19 +367,26 @@ def _block_fwd_image(x, pd, rpb_d, mask, dpm_attn, dpm_mlp, dims: TrunkDims,
     ``dpm_attn``/``dpm_mlp``: per-image drop-path keep factors, broadcastable
     against (G, H, W, C) - independent per residual branch (matching the
     unfused DropPath's two make_rng draws per block).
+
+    Returns (out, x2): the mid-block residual x2 is ALSO saved to HBM by the
+    forward kernel so the backward can skip the full attention recompute
+    (the dominant share of the remat cost).
     """
     y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
                                scratch=scratch)
     x2 = (x.astype(jnp.float32) + dpm_attn * y.astype(jnp.float32)).astype(x.dtype)
     m = _mlp_branch_fwd(x2, pd, dims, scratch=scratch)
-    return (x2.astype(jnp.float32) + dpm_mlp * m.astype(jnp.float32)).astype(x.dtype)
+    out = (x2.astype(jnp.float32) + dpm_mlp * m.astype(jnp.float32)).astype(x.dtype)
+    return out, x2
 
 
-def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_attn, dpm_mlp,
+def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
                      dims: TrunkDims, shifted: bool, wch: int = None,
                      tch: int = None, scratch=None):
     """Backward of one block for one image group; recomputes internals
-    chunked (remat style).  Chunk loops carry only the f32 grad
+    chunked (remat style).  ``x2`` (the mid-block residual) arrives from the
+    forward's HBM save, so only LN1 statistics - not the whole attention
+    branch - need recomputing.  Chunk loops carry only the f32 grad
     accumulators; bulk buffers stage through ``scratch`` refs on the kernel
     path.
 
@@ -396,22 +411,20 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     gr = {}
     z32_ = jnp.float32
 
-    # ---- recompute x2 (attention fwd, internals discarded) -----------------
-    y_attn, xhat1, inv1 = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
-                                           scratch=scratch)
-    x2 = (x.astype(jnp.float32)
-          + dpm_attn * y_attn.astype(jnp.float32)).astype(cdt)
+    # LN1 statistics only (the attention forward itself was saved as x2)
+    _, xhat1, inv1 = _ln_fwd(x.astype(jnp.float32), pd["ln1_s"], pd["ln1_b"])
 
     do32 = dout.astype(jnp.float32)
 
     # ---- MLP branch backward (chunked over token rows) ---------------------
-    x2flat32 = x2.astype(jnp.float32).reshape(g * dims.h * dims.w, c)
+    x2flat = x2.reshape(g * dims.h * dims.w, c)  # cdt, exact
     dmflat = (dpm_mlp * do32).reshape(g * dims.h * dims.w, c)
-    nt = x2flat32.shape[0]
+    nt = x2flat.shape[0]
     csz = _chunk_size(nt, tch)
 
-    def mlp_bwd(x2c, dm):
-        z32, xhat2, inv2 = _ln_fwd(x2c, pd["ln2_s"], pd["ln2_b"])
+    def mlp_bwd(x2c_cdt, dm):
+        z32, xhat2, inv2 = _ln_fwd(x2c_cdt.astype(jnp.float32),
+                                   pd["ln2_s"], pd["ln2_b"])
         zc = z32.astype(cdt)
         h32 = _dot(zc, fc1_w) + pd["fc1_b"]
         gelu = _gelu_exact(h32).astype(cdt)
@@ -431,7 +444,7 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_attn, dpm_mlp,
                 jnp.zeros((ch, c), z32_), jnp.zeros((c,), z32_),
                 jnp.zeros((c,), z32_), jnp.zeros((c,), z32_))
     if scratch is not None:
-        scratch["f1"][...] = x2flat32
+        scratch["f1"][...] = x2flat
         scratch["f2"][...] = dmflat
 
         def mlp_chunk(i, accs):
@@ -448,7 +461,7 @@ def _block_bwd_image(dout, x, pd, rpb_d, mask, dpm_attn, dpm_mlp,
             buf, accs = carry
             t0 = i * csz
             dx2_c, gs = mlp_bwd(
-                jax.lax.dynamic_slice(x2flat32, (t0, 0), (csz, c)),
+                jax.lax.dynamic_slice(x2flat, (t0, 0), (csz, c)),
                 jax.lax.dynamic_slice(dmflat, (t0, 0), (csz, c)))
             buf = jax.lax.dynamic_update_slice(buf, dx2_c, (t0, 0))
             return (buf, tuple(a + gg for a, gg in zip(accs, gs)))
@@ -594,8 +607,9 @@ def trunk_reference(x, params, rpb, mask, dpm, *, num_heads, window_size):
         xg = xi[None]
         for d in range(dims.d):
             shifted = (d % 2 == 1) and dims.shift > 0
-            xg = _block_fwd_image(xg, _slice_pd(params, d), rpb[d], mask_arr,
-                                  dpm_i[d, 0], dpm_i[d, 1], dims, shifted)
+            xg, _ = _block_fwd_image(xg, _slice_pd(params, d), rpb[d],
+                                     mask_arr, dpm_i[d, 0], dpm_i[d, 1],
+                                     dims, shifted)
         return xg[0]
 
     return jax.vmap(per_image, in_axes=(0, 2))(x, dpm)
@@ -647,7 +661,7 @@ def _fwd_kernel(dims: TrunkDims,
                 x_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref,
+    (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, xs2_ref,
      x_scr, wa, wb, ta, f1) = refs
     scratch = {"wa": wa, "wb": wb, "ta": ta, "f1": f1}
     ib = pl.program_id(0)
@@ -666,8 +680,9 @@ def _fwd_kernel(dims: TrunkDims,
         d_idx = 2 * ip + j
         dpm_a = _dpm_group(dpm_ref, d_idx, 0, ib, dims)
         dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
-        x = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m,
-                             dims, shifted, scratch=scratch)
+        x, x2 = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_a,
+                                 dpm_m, dims, shifted, scratch=scratch)
+        xs2_ref[j] = x2
     x_scr[...] = x
 
     @pl.when(ip == npairs - 1)
@@ -679,9 +694,9 @@ def _bwd_kernel(dims: TrunkDims,
                 dy_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    rpb_ref, mask_ref, dpm_ref, xs_ref, dx_ref, drpb_ref = refs[:6]
-    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[6:18])}
-    dx_scr, wa, wb, wc, f1, f2, f3 = refs[18:25]
+    rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref, dx_ref, drpb_ref = refs[:7]
+    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[7:19])}
+    dx_scr, wa, wb, wc, f1, f2, f3 = refs[19:26]
     scratch = {"wa": wa, "wb": wb, "wc": wc, "f1": f1, "f2": f2, "f3": f3}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair axis walked in reverse via the index maps
@@ -695,14 +710,15 @@ def _bwd_kernel(dims: TrunkDims,
     dx = dx_scr[...]
     for j in (1, 0):  # reverse within the pair
         x_in = xs_ref[j]
+        x2_in = xs2_ref[j]
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
         d_idx = 2 * pair + j
         dpm_a = _dpm_group(dpm_ref, d_idx, 0, ib, dims)
         dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
         dx, gr, drpb_d = _block_bwd_image(
-            dx, x_in, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m, dims,
-            shifted, scratch=scratch)
+            dx, x_in, x2_in, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m,
+            dims, shifted, scratch=scratch)
         for k in _W_ORDER:
             dw_refs[k][0, 0, j] = gr[k].astype(dw_refs[k].dtype)
         drpb_ref[0, 0, j] = drpb_d
@@ -738,19 +754,24 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dpm (D, 2, B), dynamic reads
     ]
+    xs_spec = pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
+                           lambda ib, ip: (ip, ib, 0, 0, 0),
+                           memory_space=pltpu.VMEM)
+    xs_shape = jax.ShapeDtypeStruct(
+        (dims.d, dims.b, dims.h, dims.w, dims.c), x.dtype)
     out_specs = (
         pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
-                     lambda ib, ip: (ip, ib, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+        xs_spec,
+        xs_spec,  # xs2: mid-block residuals (skip attention recompute in bwd)
     )
     out_shapes = (
         jax.ShapeDtypeStruct(x.shape, x.dtype),
-        jax.ShapeDtypeStruct((dims.d, dims.b, dims.h, dims.w, dims.c), x.dtype),
+        xs_shape,
+        xs_shape,
     )
     mask_arr = _mask_array(mask, dims)
-    y, xs = pl.pallas_call(
+    y, xs, xs2 = pl.pallas_call(
         functools.partial(_fwd_kernel, dims),
         grid=(dims.b // g, npairs),
         in_specs=in_specs,
@@ -761,16 +782,16 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
             pltpu.VMEM((g * nw, n, dims.c), x.dtype),   # wa: window tokens
             pltpu.VMEM((g * nw, n, dims.c), x.dtype),   # wb: attn out tokens
             pltpu.VMEM((g * dims.h * dims.w, dims.c), x.dtype),  # ta: mlp out
-            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f1
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), x.dtype),  # f1 (cdt)
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(x, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm)
-    return y, xs
+    return y, xs, xs2
 
 
-def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
+def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims: TrunkDims,
                 interpret=False):
     npairs = dims.d // 2
     n = dims.ws * dims.ws
@@ -790,7 +811,10 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
         pl.BlockSpec(memory_space=pltpu.SMEM),  # dpm
         pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
                      lambda ib, ip: (npairs - 1 - ip, ib, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
+                     memory_space=pltpu.VMEM),  # xs
+        pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
+                     lambda ib, ip: (npairs - 1 - ip, ib, 0, 0, 0),
+                     memory_space=pltpu.VMEM),  # xs2
     ]
     # outputs: dx (B,...); PER-GROUP drpb and weight grads (B//G, P, 2, ...)
     # that XLA sum-reduces over groups afterwards (keeps VMEM small).
@@ -827,14 +851,14 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
             pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wa
             pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wb
             pltpu.VMEM((g * nw, n, dims.c), dy.dtype),  # wc
-            pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f1
+            pltpu.VMEM((g * dims.h * dims.w, dims.c), dy.dtype),  # f1 (cdt)
             pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f2
             pltpu.VMEM((g * dims.h * dims.w, dims.c), jnp.float32),  # f3
         ],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs)
+    )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs, xs2)
     dx = outs[0]
     drpb = jnp.sum(outs[1], axis=0).reshape((dims.d, dims.nh, n, n))
     dparams = {
@@ -851,23 +875,24 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims: TrunkDims,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7, 8))
 def _trunk_pallas(x, params, rpb, mask, dpm, num_heads, window_size,
-                  interpret, g):
-    dims = make_dims(x.shape, params, num_heads, window_size, g=g)
-    y, _ = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
+                  interpret, gs):
+    dims = make_dims(x.shape, params, num_heads, window_size, g=gs[0])
+    y, _, _ = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
     return y
 
 
 def _trunk_fwd(x, params, rpb, mask, dpm, num_heads, window_size, interpret,
-               g):
-    dims = make_dims(x.shape, params, num_heads, window_size, g=g)
-    y, xs = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
-    return y, (x.shape, params, rpb, dpm, xs)
+               gs):
+    dims = make_dims(x.shape, params, num_heads, window_size, g=gs[0])
+    y, xs, xs2 = _fwd_pallas(x, params, rpb, mask, dpm, dims,
+                             interpret=interpret)
+    return y, (x.shape, params, rpb, dpm, xs, xs2)
 
 
-def _trunk_bwd(mask, num_heads, window_size, interpret, g, res, dy):
-    x_shape, params, rpb, dpm, xs = res
-    dims = make_dims(x_shape, params, num_heads, window_size, g=g)
-    dx, dparams, drpb = _bwd_pallas(params, rpb, mask, dpm, xs, dy, dims,
+def _trunk_bwd(mask, num_heads, window_size, interpret, gs, res, dy):
+    x_shape, params, rpb, dpm, xs, xs2 = res
+    dims = make_dims(x_shape, params, num_heads, window_size, g=gs[1])
+    dx, dparams, drpb = _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims,
                                     interpret=interpret)
     return dx, dparams, drpb.astype(rpb.dtype), jnp.zeros_like(dpm)
 
@@ -908,6 +933,9 @@ def swin_trunk(
         assert isinstance(mask, np.ndarray), "mask must be a numpy constant"
         mask = np.ascontiguousarray(mask, dtype=np.float32)
     b, h, w, c = x.shape
-    g = _pick_group(b, h, w, c, x.dtype.itemsize)
+    gs = (
+        _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 20, "SEI_TRUNK_G_BWD"),
+    )
     return _trunk_pallas(x, params, rpb.astype(jnp.float32), mask, dpm,
-                         num_heads, window_size, interpret, g)
+                         num_heads, window_size, interpret, gs)
