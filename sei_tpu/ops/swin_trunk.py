@@ -184,13 +184,73 @@ def _unwindow_tokens(t, g: int, dims: TrunkDims):
     return y.reshape(g, dims.h, dims.w, dims.c)
 
 
-def _head_mask(nh: int, c: int) -> jnp.ndarray:
-    """(nh, C) 0/1 mask; built from iota so Pallas does not capture a
-    constant array (kernels may only close over scalars)."""
+# -- head/tile packing --------------------------------------------------------
+#
+# Heads are packed LANE-TILE-ALIGNED: a trace-time 0/1 permutation matrix
+# rearranges the qkv output columns (and proj input rows) so that no head's
+# hd channels cross a 128-lane boundary.  Attention then runs PER TILE:
+# each tile's masked-head matmuls contract 128 lanes instead of the full
+# padded C (256 for the flagship's C=180) - halving the effective MXU work
+# of every score-class matmul.  The packing matrices are exact (0/1), so
+# autodiff maps the packed-layout gradients back to the raw parameters.
+
+_TL = 128  # lane-tile width
+
+
+def _head_tiling(nh: int, hd: int) -> list:
+    """Greedy head->tile assignment: [(first_head, n_heads), ...]."""
+    tiles = []
+    start, used = 0, 0
+    for h in range(nh):
+        if used + hd > _TL:
+            tiles.append((start, h - start))
+            start, used = h, 0
+        used += hd
+    tiles.append((start, nh - start))
+    return tiles
+
+
+def _pack_perm(nh: int, hd: int) -> np.ndarray:
+    """(nh*hd, n_tiles*_TL) 0/1 matrix: raw channel -> tile-aligned slot."""
+    tiles = _head_tiling(nh, hd)
+    c2 = len(tiles) * _TL
+    p = np.zeros((nh * hd, c2), np.float32)
+    for t, (s, cnt) in enumerate(tiles):
+        for h in range(s, s + cnt):
+            for i in range(hd):
+                p[h * hd + i, t * _TL + (h - s) * hd + i] = 1.0
+    return p
+
+
+def pack_attn_params(params: dict, nh: int) -> dict:
+    """Repack stacked qkv_w/qkv_b/proj_w into the tile-aligned layout.
+
+    qkv_w: (D, C, 3C) -> (D, C, 3*C2); qkv_b: (D, 3C) -> (D, 3*C2);
+    proj_w: (D, C, C) -> (D, C2, C).  Exact 0/1 matmuls; other leaves pass
+    through.  C2 = n_tiles * 128.
+    """
+    c = params["proj_w"].shape[-1]
     hd = c // nh
-    ci = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 1)
-    hi = jax.lax.broadcasted_iota(jnp.int32, (nh, c), 0)
-    return (ci // hd == hi).astype(jnp.float32)
+    p1 = jnp.asarray(_pack_perm(nh, hd))  # (C, C2)
+    c2 = p1.shape[1]
+    z = jnp.zeros_like(p1)
+    p3 = jnp.concatenate([
+        jnp.concatenate([p1, z, z], axis=1),
+        jnp.concatenate([z, p1, z], axis=1),
+        jnp.concatenate([z, z, p1], axis=1),
+    ], axis=0)  # (3C, 3C2)
+    out = dict(params)
+    out["qkv_w"] = jnp.einsum("dcx,xy->dcy", params["qkv_w"], p3)
+    out["qkv_b"] = jnp.einsum("dx,xy->dy", params["qkv_b"], p3)
+    out["proj_w"] = jnp.einsum("xy,dxc->dyc", p1, params["proj_w"])
+    return out
+
+
+def _tile_head_mask(ht: int, hd: int) -> jnp.ndarray:
+    """(ht, _TL) 0/1 mask for one tile; iota-built (no captured constants)."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (ht, _TL), 1)
+    hi = jax.lax.broadcasted_iota(jnp.int32, (ht, _TL), 0)
+    return ((li // hd == hi) & (li < ht * hd)).astype(jnp.float32)
 
 
 def _bdot(a, b, transpose_b=False):
@@ -259,37 +319,44 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     tok = _window_tokens(a, dims)  # (G*nW, N, C)
     nw, n, _ = tok.shape
     csz = _chunk_size(nwi, wch)
-    qkv_w = pd["qkv_w"].astype(cdt)
-    proj_w = pd["proj_w"].astype(cdt)
+    qkv_w = pd["qkv_w"].astype(cdt)   # (C, 3*C2), tile-packed
+    proj_w = pd["proj_w"].astype(cdt)  # (C2, C)
     rpb32 = rpb_d.astype(jnp.float32)
     if scratch is not None:
         scratch["wa"][...] = tok
 
-    nh = dims.nh
-    hm = _head_mask(nh, c)
+    tiles = _head_tiling(dims.nh, hd)
+    c2 = len(tiles) * _TL
+    scale = hd ** -0.5
 
     def attend(tchunk, mchunk):
         flat = tchunk.reshape(csz * n, c)
         qkv = (_dot(flat, qkv_w) + pd["qkv_b"]).astype(cdt)
-        q = qkv[:, :c].reshape(csz, n, c)
-        k = qkv[:, c : 2 * c].reshape(csz, n, c)
-        v = qkv[:, 2 * c :].reshape(csz, n, c)
-        # fold heads into rows: (csz, nh*N, C); mask m_h zeroes other heads
-        qm = (q[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
-            csz, nh * n, c)
-        s = _bdot(qm, k, transpose_b=True) * (hd ** -0.5)  # (csz, nh*N, N) f32
-        s = s.reshape(csz, nh, n, n) + rpb32[None]
-        if shifted:
-            # NB slice+None indexing lowers to an unsupported Mosaic gather
-            s = s + mchunk.reshape(csz, 1, n, n).astype(jnp.float32)
-        s = s.reshape(csz, nh * n, n)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
-        att = _bdot(p, v)  # (csz, nh*N, C) f32; head h valid in its C slice
-        t = jnp.sum(att.reshape(csz, nh, n, c) * hm[None, :, None, :],
-                    axis=1).astype(cdt)
-        o = (_dot(t.reshape(csz * n, c), proj_w) + pd["proj_b"]).astype(cdt)
+        q = qkv[:, :c2].reshape(csz, n, c2)
+        k = qkv[:, c2 : 2 * c2].reshape(csz, n, c2)
+        v = qkv[:, 2 * c2 :].reshape(csz, n, c2)
+        tparts = []
+        for t2, (h0, ht) in enumerate(tiles):
+            sl = slice(t2 * _TL, (t2 + 1) * _TL)
+            q_t, k_t, v_t = q[..., sl], k[..., sl], v[..., sl]
+            hm = _tile_head_mask(ht, hd)
+            qm = (q_t[:, None] * hm[None, :, None, :].astype(cdt)).reshape(
+                csz, ht * n, _TL)
+            s = _bdot(qm, k_t, transpose_b=True) * scale  # (csz, ht*N, N) f32
+            s = s.reshape(csz, ht, n, n) + rpb32[h0 : h0 + ht][None]
+            if shifted:
+                # slice+None indexing lowers to an unsupported Mosaic gather
+                s = s + mchunk.reshape(csz, 1, n, n).astype(jnp.float32)
+            s = s.reshape(csz, ht * n, n)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+            att = _bdot(p, v_t)  # (csz, ht*N, TL) f32
+            tparts.append(jnp.sum(
+                att.reshape(csz, ht, n, _TL) * hm[None, :, None, :],
+                axis=1).astype(cdt))
+        tfull = jnp.concatenate(tparts, axis=-1)  # (csz, N, C2)
+        o = (_dot(tfull.reshape(csz * n, c2), proj_w) + pd["proj_b"]).astype(cdt)
         return o.reshape(csz, n, c)
 
     if scratch is not None:
@@ -489,62 +556,72 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     nw = a_tok.shape[0]
     wcs = _chunk_size(nwi, wch)
 
-    nh = dims.nh
-    hm = _head_mask(nh, c)
+    tiles = _head_tiling(dims.nh, hd)
+    c2 = len(tiles) * _TL
+    scale = hd ** -0.5
 
     def attn_bwd(ac_, doc_, mchunk):
         ac = ac_.reshape(wcs * n, c)
         qkv = (_dot(ac, qkv_w) + pd["qkv_b"]).astype(cdt)
-        q = qkv[:, :c].reshape(wcs, n, c)
-        k = qkv[:, c : 2 * c].reshape(wcs, n, c)
-        v = qkv[:, 2 * c :].reshape(wcs, n, c)
-        hmc = hm[None, :, None, :].astype(cdt)
-        qm = (q[:, None] * hmc).reshape(wcs, nh * n, c)
-        s = _bdot(qm, k, transpose_b=True) * (hd ** -0.5)  # (wcs, nh*N, N)
-        s = s.reshape(wcs, nh, n, n) + rpb32[None]
-        if shifted:
-            s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
-        s = s.reshape(wcs, nh * n, n)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s)
-        p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
-        pc = p.astype(cdt)
-        att = _bdot(pc, v)  # (wcs, nh*N, C) f32
-        t = jnp.sum(att.reshape(wcs, nh, n, c) * hm[None, :, None, :],
-                    axis=1).astype(cdt)
-
+        q = qkv[:, :c2].reshape(wcs, n, c2)
+        k = qkv[:, c2 : 2 * c2].reshape(wcs, n, c2)
+        v = qkv[:, 2 * c2 :].reshape(wcs, n, c2)
         doc = doc_.reshape(wcs * n, c)
-        g_projw = _dot(t.reshape(wcs * n, c), doc.astype(cdt),
-                       transpose_a=True)
+        dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)  # (.., C2) f32
+        dtc = dt.astype(cdt).reshape(wcs, n, c2)
+
+        t_parts, dq_parts, dk_parts, dv_parts, rpb_parts = [], [], [], [], []
+        for t2, (h0, ht) in enumerate(tiles):
+            sl = slice(t2 * _TL, (t2 + 1) * _TL)
+            q_t, k_t, v_t = q[..., sl], k[..., sl], v[..., sl]
+            hm = _tile_head_mask(ht, hd)
+            hmc = hm[None, :, None, :].astype(cdt)
+            qm = (q_t[:, None] * hmc).reshape(wcs, ht * n, _TL)
+            s = _bdot(qm, k_t, transpose_b=True) * scale  # (wcs, ht*N, N)
+            s = s.reshape(wcs, ht, n, n) + rpb32[h0 : h0 + ht][None]
+            if shifted:
+                s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
+            s = s.reshape(wcs, ht * n, n)
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
+            pc = p.astype(cdt)
+            att = _bdot(pc, v_t)  # (wcs, ht*N, TL) f32
+            t_parts.append(jnp.sum(
+                att.reshape(wcs, ht, n, _TL) * hm[None, :, None, :],
+                axis=1).astype(cdt))
+            # d(att_h) = dt_tile .* m_h (head h owns its lane slice)
+            davm = (dtc[..., sl][:, None] * hmc).reshape(wcs, ht * n, _TL)
+            dp = _bdot(davm, v_t, transpose_b=True)  # (wcs, ht*N, N) f32
+            dv_parts.append(_bdot_rows(pc, davm))    # (wcs, N, TL) f32
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            rpb_parts.append(jnp.sum(ds.reshape(wcs, ht, n, n), axis=0))
+            dsc = ds.astype(cdt)
+            dqm = _bdot(dsc, k_t) * scale  # (wcs, ht*N, TL) f32
+            dq_parts.append(jnp.sum(
+                dqm.reshape(wcs, ht, n, _TL) * hm[None, :, None, :], axis=1))
+            dk_parts.append(_bdot_rows(dsc, qm) * scale)  # (wcs, N, TL)
+
+        tfull = jnp.concatenate(t_parts, axis=-1)  # (wcs, N, C2)
+        g_projw = _dot(tfull.reshape(wcs * n, c2), doc.astype(cdt),
+                       transpose_a=True)  # (C2, C)
         g_projb = jnp.sum(doc.astype(jnp.float32), axis=0)
-        dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)
-        # d(att_h) = dt .* m_h (head h owns its channel slice)
-        davm = (dt.astype(cdt).reshape(wcs, n, c)[:, None] * hmc).reshape(
-            wcs, nh * n, c)
-        # dp[b, hN+i, j] = sum_c davm[b, hN+i, c] v[b, j, c]
-        dp = _bdot(davm, v, transpose_b=True)  # (wcs, nh*N, N) f32
-        # dv[b, j, c] = sum_{h,i} p_h[i,j] dav_h[i,c]: contract the row dim
-        dv = _bdot_rows(pc, davm)  # (wcs, N, C) f32
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        g_rpb = jnp.sum(ds.reshape(wcs, nh, n, n), axis=0)
-        dsc = ds.astype(cdt)
-        # dq = (ds_h @ k) .* m_h ; dk = sum_{h,i} ds_h[i,j] qm_h[i,c]
-        dqm = _bdot(dsc, k) * (hd ** -0.5)  # (wcs, nh*N, C) f32
-        dq = jnp.sum(dqm.reshape(wcs, nh, n, c)
-                     * hm[None, :, None, :], axis=1)
-        dk = _bdot_rows(dsc, qm) * (hd ** -0.5)  # (wcs, N, C) f32
+        g_rpb = jnp.concatenate(rpb_parts, axis=0)  # (nh, N, N)
+        dq = jnp.concatenate(dq_parts, axis=-1)
+        dk = jnp.concatenate(dk_parts, axis=-1)
+        dv = jnp.concatenate(dv_parts, axis=-1)
         dqkv = jnp.concatenate(
-            [dq.astype(cdt).reshape(wcs * n, c),
-             dk.astype(cdt).reshape(wcs * n, c),
-             dv.astype(cdt).reshape(wcs * n, c)], axis=-1)
-        g_qkvw = _dot(ac, dqkv, transpose_a=True)
+            [dq.astype(cdt).reshape(wcs * n, c2),
+             dk.astype(cdt).reshape(wcs * n, c2),
+             dv.astype(cdt).reshape(wcs * n, c2)], axis=-1)
+        g_qkvw = _dot(ac, dqkv, transpose_a=True)  # (C, 3*C2)
         g_qkvb = jnp.sum(dqkv.astype(jnp.float32), axis=0)
         da_c = _dot(dqkv, qkv_w, transpose_b=True).astype(cdt)
         return (da_c.reshape(wcs, n, c),
                 (g_qkvw, g_qkvb, g_projw, g_projb, g_rpb))
 
-    attn_init = (jnp.zeros((c, 3 * c), z32_), jnp.zeros((3 * c,), z32_),
-                 jnp.zeros((c, c), z32_), jnp.zeros((c,), z32_),
+    attn_init = (jnp.zeros((c, 3 * c2), z32_), jnp.zeros((3 * c2,), z32_),
+                 jnp.zeros((c2, c), z32_), jnp.zeros((c,), z32_),
                  jnp.zeros((dims.nh, n, n), z32_))
     if scratch is not None:
         scratch["wa"][...] = a_tok
@@ -601,6 +678,7 @@ def _slice_pd(params, d):
 def trunk_reference(x, params, rpb, mask, dpm, *, num_heads, window_size):
     """Batched trunk forward via the same per-group block function (G=1)."""
     dims = make_dims(x.shape, params, num_heads, window_size)
+    params = pack_attn_params(params, num_heads)
     mask_arr = _mask_array(mask, dims)
 
     def per_image(xi, dpm_i):
@@ -937,5 +1015,8 @@ def swin_trunk(
         _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G"),
         _pick_group(b, h, w, c, x.dtype.itemsize, 20, "SEI_TRUNK_G_BWD"),
     )
+    # tile-aligned head packing (exact 0/1 matmuls OUTSIDE the custom_vjp,
+    # so autodiff maps the packed-layout grads back to the raw params)
+    params = pack_attn_params(params, num_heads)
     return _trunk_pallas(x, params, rpb.astype(jnp.float32), mask, dpm,
                          num_heads, window_size, interpret, gs)

@@ -162,6 +162,87 @@ def test_per_branch_drop_path_masks(setup):
     np.testing.assert_allclose(ka, ya, rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_multi_lane_tile_heads():
+    """Heads spanning >1 lane tile (the flagship's C=180/nh=6 case) take the
+    per-tile packed-attention path; verify kernel==reference==flax with
+    C=160, nh=2 (hd=80 -> greedy tiling puts each head in its own tile),
+    including grads."""
+    c, nh, d, b, h = 160, 2, 2, 2, 8
+    ws = 4
+
+    from sei_tpu.ops.swin_trunk import _head_tiling
+
+    assert len(_head_tiling(nh, c // nh)) == 2  # really multi-tile
+
+    blocks, params_list = [], []
+    key = jax.random.PRNGKey(7)
+    for i in range(d):
+        blk = SwinBlock(dim=c, num_heads=nh, window_size=ws,
+                        shift_size=0 if i % 2 == 0 else ws // 2,
+                        mlp_ratio=2.0, drop_path=0.0)
+        key, k = jax.random.split(key)
+        params_list.append(blk.init(k, jnp.zeros((b, h, h, c)), True)["params"])
+        blocks.append(blk)
+
+    def flax_apply(x):
+        for blk, p in zip(blocks, params_list):
+            x = blk.apply({"params": p}, x, True)
+        return x
+
+    n = ws * ws
+    idx = relative_position_index(ws).reshape(-1)
+    onehot = np.zeros((n * n, (2 * ws - 1) ** 2), np.float32)
+    onehot[np.arange(n * n), idx] = 1.0
+    stacked = {k: [] for k in PARAM_LEAVES}
+    rpb = []
+    for p in params_list:
+        stacked["ln1_s"].append(p["norm1"]["scale"])
+        stacked["ln1_b"].append(p["norm1"]["bias"])
+        stacked["qkv_w"].append(p["attn"]["qkv"]["kernel"])
+        stacked["qkv_b"].append(p["attn"]["qkv"]["bias"])
+        stacked["proj_w"].append(p["attn"]["proj"]["kernel"])
+        stacked["proj_b"].append(p["attn"]["proj"]["bias"])
+        stacked["ln2_s"].append(p["norm2"]["scale"])
+        stacked["ln2_b"].append(p["norm2"]["bias"])
+        stacked["fc1_w"].append(p["mlp"]["fc1"]["kernel"])
+        stacked["fc1_b"].append(p["mlp"]["fc1"]["bias"])
+        stacked["fc2_w"].append(p["mlp"]["fc2"]["kernel"])
+        stacked["fc2_b"].append(p["mlp"]["fc2"]["bias"])
+        table = np.asarray(p["attn"]["relative_position_bias_table"], np.float32)
+        rpb.append((onehot @ table).reshape(n, n, nh).transpose(2, 0, 1))
+    params = {k: jnp.stack([jnp.asarray(v) for v in vs])
+              for k, vs in stacked.items()}
+    rpb = jnp.asarray(np.stack(rpb))
+    mask = shift_attn_mask(h, h, ws, ws // 2)
+    dpm = jnp.ones((d, 2, b), jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (b, h, h, c), jnp.float32)
+
+    want = flax_apply(x)
+    got = swin_trunk(x, params, rpb, mask, dpm, num_heads=nh, window_size=ws,
+                     use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(9), x.shape, jnp.float32)
+
+    def loss_k(params):
+        y = swin_trunk(x, params, rpb, mask, dpm, num_heads=nh,
+                       window_size=ws, use_pallas=True, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    def loss_r(params):
+        y = trunk_reference(x, params, rpb, mask, dpm,
+                            num_heads=nh, window_size=ws)
+        return jnp.mean((y - tgt) ** 2)
+
+    gk = jax.grad(loss_k)(params)
+    gr = jax.grad(loss_r)(params)
+    for a, b_ in zip(jax.tree_util.tree_leaves(gk),
+                     jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_kernel_no_shift_small_image(setup):
     """min(H, W) <= ws disables all shifts (flax parity)."""
     _, params, rpb, _, dpm, _ = setup
