@@ -168,25 +168,40 @@ def diffpir(y, physics, denoiser, *, noise_level_img: float, steps: int = 100,
 
 
 def dps(y, physics, denoiser, *, steps: int = 100, eta: float = 1.0, key=None):
-    """Diffusion posterior sampling (Chung et al. 2023), denoiser score."""
+    """Diffusion posterior sampling (Chung et al. 2023), denoiser score.
+
+    Matches the deepinv DPS sampler the reference wraps (ref
+    src/models/dps.py:9-21): the diffusion runs in the scaled space
+    z = 2x - 1 with the [0,1] denoiser bridged via z/2 + 0.5 and
+    sigma/2, the x0 estimate is clipped to [-1, 1] each step, and the
+    transition is the eta-noised DDIM update with the likelihood
+    gradient of sqrt(||A(x0)-y||^2) subtracted (the 1/||r|| guidance
+    normalization of the DPS paper).
+    """
     key = jax.random.PRNGKey(0) if key is None else key
     betas = np.linspace(0.1 / 1000, 20 / 1000, 1000)
     alphas = np.cumprod(1 - betas)
     seq = np.linspace(0, 999, steps).astype(int)[::-1]
 
+    # measurement in the scaled space: A(2x-1) = 2A(x) - A(1)
+    ones = jnp.ones_like(physics.A_adjoint(y))
+    yz = 2.0 * y - physics.A(ones)
+
     k0, key = jax.random.split(key)
-    x = jax.random.normal(k0, physics.A_adjoint(y).shape, y.dtype)
+    x = jax.random.normal(k0, ones.shape, y.dtype)
 
     for i, t in enumerate(seq):
         a_t = alphas[t]
         sigma_t = math.sqrt((1 - a_t) / a_t)
 
-        def x0_of(x):
-            return denoiser(x / math.sqrt(a_t), sigma_t)
+        def x0_of(xt):
+            z = xt / math.sqrt(a_t)
+            x0 = 2.0 * denoiser(z / 2.0 + 0.5, sigma_t / 2.0) - 1.0
+            return jnp.clip(x0, -1.0, 1.0)
 
         # likelihood gradient through the denoiser
-        def residual_norm(x):
-            r = physics.A(x0_of(x)) - y
+        def residual_norm(xt):
+            r = physics.A(x0_of(xt)) - yz
             return jnp.sqrt(jnp.sum(r * r) + 1e-12)
 
         norm, g = jax.value_and_grad(residual_norm)(x)
@@ -195,15 +210,24 @@ def dps(y, physics, denoiser, *, steps: int = 100, eta: float = 1.0, key=None):
             t_next = seq[i + 1]
             a_next = alphas[t_next]
             key, kn = jax.random.split(key)
+            sigma_tilde = (
+                math.sqrt(
+                    max((1 - a_t / a_next) * (1 - a_next) / (1 - a_t), 0.0)
+                )
+                * eta
+            )
+            c2 = math.sqrt(max((1 - a_next) - sigma_tilde**2, 0.0))
             eps = (x - math.sqrt(a_t) * x0) / math.sqrt(max(1 - a_t, 1e-8))
+            noise = jax.random.normal(kn, x.shape, x.dtype)
             x = (
                 math.sqrt(a_next) * x0
-                + math.sqrt(max(1 - a_next, 0.0)) * eps
+                + c2 * eps
+                + sigma_tilde * noise
+                - g
             )
-            x = x - eta * g
         else:
             x = x0
-    return x
+    return (x + 1.0) / 2.0
 
 
 def build_denoiser_baseline(kind, *, weights_path, physics, noise_level, task,

@@ -94,6 +94,45 @@ def test_dpir_prox_closed_form_matches_cg():
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-3)
 
 
+def test_dps_oracle_denoiser_recovers_clean():
+    """DPS range-convention check (ref src/models/dps.py:9-21 via deepinv).
+
+    With an oracle denoiser that always returns the clean image, the x0
+    estimate is exact at every step, so the sampler must converge to the
+    clean image in [0,1] output space.  Catches any mistake in the
+    [-1,1] <-> [0,1] bridging or the final rescale.
+    """
+    from sei_tpu.models.denoiser_solvers import dps
+
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    rng = np.random.default_rng(2)
+    clean = jnp.asarray(rng.random((1, 3, 16, 16), dtype=np.float32))
+    y = phys.degrade(clean, jax.random.PRNGKey(0))
+
+    def oracle(z, s):
+        return jnp.broadcast_to(clean, z.shape)
+
+    out = dps(y, phys, oracle, steps=10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(clean), atol=1e-3)
+
+
+def test_diffpir_oracle_denoiser_recovers_clean():
+    from sei_tpu.models.denoiser_solvers import diffpir
+
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    rng = np.random.default_rng(3)
+    clean = jnp.asarray(rng.random((1, 3, 16, 16), dtype=np.float32))
+    y = phys.degrade(clean, jax.random.PRNGKey(0))
+
+    def oracle(z, s):
+        return jnp.broadcast_to(clean, z.shape)
+
+    out = diffpir(y, phys, oracle, noise_level_img=5 / 255.0, steps=10)
+    # the data prox pulls x0 toward the (noisy) measurement-consistent
+    # solution, so tolerance is loose; this is a stability/range check
+    assert float(jnp.mean(jnp.abs(out - clean))) < 0.1
+
+
 def test_dpir_hqs_with_tiny_denoiser(drunet):
     net, params = drunet
     phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
