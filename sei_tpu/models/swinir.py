@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.conv_mm import Conv3x3
+
 RGB_MEAN = (0.4488, 0.4371, 0.4040)
 
 
@@ -383,13 +385,13 @@ class RSTB(nn.Module):
                     name=f"blocks_{i}",
                 )(x, deterministic)
         if self.resi_connection == "1conv":
-            x = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv")(x)
+            x = Conv3x3(self.dim, dtype=self.dtype, kernel_init=conv_torch_init, name="conv")(x)
         else:  # 3conv (bottleneck)
-            x = nn.Conv(self.dim // 4, (3, 3), padding="SAME", kernel_init=conv_torch_init, name="conv_0")(x)
+            x = Conv3x3(self.dim // 4, kernel_init=conv_torch_init, name="conv_0")(x)
             x = nn.leaky_relu(x, 0.2)
             x = nn.Conv(self.dim // 4, (1, 1), kernel_init=conv_torch_init, name="conv_2")(x)
             x = nn.leaky_relu(x, 0.2)
-            x = nn.Conv(self.dim, (3, 3), padding="SAME", kernel_init=conv_torch_init, name="conv_4")(x)
+            x = Conv3x3(self.dim, kernel_init=conv_torch_init, name="conv_4")(x)
         return x + res
 
 
@@ -529,39 +531,37 @@ class SwinIR(nn.Module):
             return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(f)
 
         if self.upsampler == "pixelshuffle":
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
-            res = nn.Conv(
-                self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
+            feat = Conv3x3(self.embed_dim, dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
+            res = Conv3x3(self.embed_dim, dtype=self.dtype,
                 kernel_init=conv_torch_init, name="conv_after_body"
             )(features(feat))
             feat = res + feat
-            feat = nn.Conv(self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
+            feat = Conv3x3(self.num_feat, dtype=self.dtype,
                            kernel_init=conv_torch_init, name="conv_before_upsample_0")(feat)
             feat = nn.leaky_relu(feat, 0.01)
             # Upsample tower: x2 stages (+ optional x3 stage), torch order.
             scale = self.upscale
             stage = 0
             while scale % 2 == 0 and scale > 1:
-                feat = nn.Conv(4 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
+                feat = Conv3x3(4 * self.num_feat, dtype=self.dtype,
                                kernel_init=conv_torch_init, name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 2)
                 scale //= 2
                 stage += 1
             if scale == 3:
-                feat = nn.Conv(9 * self.num_feat, (3, 3), padding="SAME", dtype=self.dtype,
+                feat = Conv3x3(9 * self.num_feat, dtype=self.dtype,
                                kernel_init=conv_torch_init, name=f"upsample_{stage}")(feat)
                 feat = _pixel_shuffle(feat, 3)
             elif scale != 1:
                 raise ValueError(f"unsupported upscale {self.upscale}")
-            out = nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(feat)
+            out = Conv3x3(self.in_chans, dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(feat)
         else:
-            feat = nn.Conv(self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
-            res = nn.Conv(
-                self.embed_dim, (3, 3), padding="SAME", dtype=self.dtype,
+            feat = Conv3x3(self.embed_dim, dtype=self.dtype, kernel_init=conv_torch_init, name="conv_first")(x)
+            res = Conv3x3(self.embed_dim, dtype=self.dtype,
                 kernel_init=conv_torch_init, name="conv_after_body"
             )(features(feat))
             res = res + feat
-            out = x + nn.Conv(self.in_chans, (3, 3), padding="SAME", dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(res)
+            out = x + Conv3x3(self.in_chans, dtype=self.dtype, kernel_init=conv_torch_init, name="conv_last")(res)
 
         out = out / self.img_range + mean
         out = out[:, : h_in * self.upscale, : w_in * self.upscale, :]

@@ -1,0 +1,70 @@
+"""im2col-matmul conv vs XLA native conv (ops/conv_mm.py).
+
+The mm lowering must be numerically interchangeable with lax.conv (and
+therefore with torch Conv2d(3x3, padding=1), which test_swinir_torch_golden
+already pins for the model) in both forward and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sei_tpu.ops.conv_mm import Conv3x3, _conv3x3_lax, conv3x3_mm
+
+
+@pytest.mark.parametrize("shape,cout", [((2, 8, 8, 5), 7), ((1, 12, 9, 16), 16)])
+def test_conv3x3_mm_matches_lax(shape, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    y_mm = conv3x3_mm(x, w, b)
+    y_lax = _conv3x3_lax(x, w, b)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_lax), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_mm_grads_match_lax():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2, 6, 6, 5)), jnp.float32)
+
+    def loss(fn, x, w, b):
+        return jnp.sum(fn(x, w, b) * cot)
+
+    g_mm = jax.grad(lambda *a: loss(conv3x3_mm, *a), argnums=(0, 1, 2))(x, w, b)
+    g_lax = jax.grad(lambda *a: loss(_conv3x3_lax, *a), argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(g_mm, g_lax):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_module_both_lowerings_agree():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 10, 10, 6)), jnp.float32)
+    mod_mm = Conv3x3(8, use_mm=True)
+    mod_lax = Conv3x3(8, use_mm=False)
+    params = mod_mm.init(jax.random.PRNGKey(0), x)
+    y_mm = mod_mm.apply(params, x)
+    y_lax = mod_lax.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_mm), np.asarray(y_lax), rtol=1e-5, atol=1e-5)
+    # param layout identical to nn.Conv (checkpoint compatibility)
+    import flax.linen as nn
+
+    ref = nn.Conv(8, (3, 3), padding="SAME").init(jax.random.PRNGKey(0), x)
+    assert jax.tree.map(jnp.shape, params) == jax.tree.map(jnp.shape, ref)
+
+
+def test_swinir_forward_same_with_mm_convs(monkeypatch):
+    from sei_tpu.models.swinir import SwinIR
+
+    model = SwinIR(img_size=16, embed_dim=24, depths=(2,), num_heads=(2,),
+                   window_size=8, drop_path_rate=0.0, fused_trunk=False)
+    x = jnp.asarray(np.random.default_rng(3).random((1, 3, 16, 16)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x, True)
+    monkeypatch.setenv("SEI_CONV_MM", "0")
+    y0 = model.apply(params, x, True)
+    monkeypatch.setenv("SEI_CONV_MM", "1")
+    y1 = model.apply(params, x, True)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
