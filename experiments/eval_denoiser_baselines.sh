@@ -7,7 +7,7 @@ cd "$(dirname "$0")/.."
 N=${2:-5}
 IDX=$(seq -s, 0 $((N - 1)))
 KIND=$([ "$1" = dps ] && echo DPS || echo DiffPIR_DRUNet)
-export SEI_DRUNET_WEIGHTS=$PWD/experiments/runs/drunet.npz
+export SEI_DRUNET_WEIGHTS=${SEI_DRUNET_WEIGHTS:-$PWD/experiments/runs/drunet.npz}
 export JAX_COMPILATION_CACHE_DIR=/root/jaxcache
 echo "=== eval $KIND on $N images ==="
 timeout 5400 python demo/test.py \

@@ -36,6 +36,14 @@ def main():
     ap.add_argument("--channels", type=int, nargs="+",
                     default=[64, 128, 256, 512])
     ap.add_argument("--nb", type=int, default=4)
+    # Wide-sigma mode for the diffusion samplers: DPS walks sigma_t/2 up to
+    # ~75 in [0,1] space, far past DRUNet's published [0, 55/255] training
+    # range (the reference inherits the same ceiling from deepinv's
+    # pretrained DRUNet, ref src/models/dps.py:13).  Log-uniform sampling
+    # covers the decades evenly.
+    ap.add_argument("--sigma_max", type=float, default=55.0 / 255.0)
+    ap.add_argument("--sigma_dist", choices=["uniform", "log"],
+                    default="uniform")
     args = ap.parse_args()
 
     from sei_tpu.data import GroundTruthDataset
@@ -79,12 +87,22 @@ def main():
 
         x = jax.vmap(crop)(xs, hs[idx], ws[idx],
                            jax.random.split(ks[1], args.batch))
-        sigma = jax.random.uniform(ks[2], (), minval=0.0, maxval=55.0 / 255.0)
+        if args.sigma_dist == "log":
+            lo, hi = np.log(1e-3), np.log(args.sigma_max)
+            sigma = jnp.exp(jax.random.uniform(ks[2], (), minval=lo, maxval=hi))
+        else:
+            sigma = jax.random.uniform(ks[2], (), minval=0.0,
+                                       maxval=args.sigma_max)
         y = x + sigma * jax.random.normal(ks[3], x.shape)
 
         def loss_fn(p):
             out = net.apply({"params": p}, y, sigma)
-            return jnp.mean((out - x) ** 2)
+            mse = jnp.mean((out - x) ** 2)
+            if args.sigma_dist == "log":
+                # residual variance scales ~sigma^2; without this weight the
+                # top decade of a wide log range swamps the gradient signal
+                mse = mse / (sigma**2 + 1e-4)
+            return mse
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt = tx.update(grads, opt, params)
