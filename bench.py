@@ -87,9 +87,15 @@ def main():
         ids=jnp.arange(n_img), rate=1,
     )
 
+    # BENCH_SCAN > 1 fuses that many steps per dispatch via the trainer's
+    # lax.scan path (demo/train.py --scan_steps): amortizes the ~3-5 ms
+    # per-dispatch latency of the tunnel, which a co-located TPU host
+    # would not pay.  Default 1 keeps the historical per-step methodology.
+    scan_steps = int(os.environ.get("BENCH_SCAN", "1"))
     trainer = Trainer(
         model=model, loss_fn=loss_fn, physics=physics, cache=cache,
         batch_size=batch, epochs=1, lr=1e-4, crop_size=256, out_dir=None,
+        scan_steps=scan_steps,
     )
     state = trainer.init_state()
     step = trainer._get_step(0)
@@ -105,7 +111,7 @@ def main():
     jax.block_until_ready(loss)
     dt = time.time() - t0
 
-    images_per_sec = batch * iters / dt
+    images_per_sec = batch * iters * trainer.scan_steps / dt
     print(
         json.dumps(
             {

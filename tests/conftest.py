@@ -22,3 +22,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compilation cache: the suite is compile-dominated on this
+# single-core box (mesh-sharded train steps, interpret-mode Pallas, torch
+# goldens), and the CPU backend caches fine.  The XLA-internal AOT
+# sub-caches are disabled: they embed compile-machine feature strings
+# (+prefer-no-scatter/+prefer-no-gather) that trip a noisy loader warning
+# on reload; the JAX-level cache alone gives the ~5x warm-run win.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SEI_TEST_CACHE_DIR", "/root/jaxcache_cpu_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
