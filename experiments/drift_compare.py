@@ -42,8 +42,9 @@ def main():
     print("epoch   torch-loss   jax-loss")
     for e in (25, 50, 100, 150, 200, 250, 300):
         te, je = t.get(e), j.get(e)
-        print(f"{e:5d}   {te if te is None else f'{te:.3e}':>10}   "
-              f"{je if je is None else f'{je:.3e}':>10}")
+        ts = "-" if te is None else f"{te:.3e}"
+        js = "-" if je is None else f"{je:.3e}"
+        print(f"{e:5d}   {ts:>10}   {js:>10}")
 
 
 if __name__ == "__main__":
