@@ -85,6 +85,13 @@ def main():
         physics=physics,
         noise_level=args.noise_level,
         homogeneous_swinir=args.homogeneous_swinir,
+        swinir_overrides={
+            "embed_dim": args.SwinIR__embed_dim,
+            "depths": args.SwinIR__depths,
+            "num_heads": args.SwinIR__num_heads,
+            "window_size": args.SwinIR__window_size,
+            "drop_path_rate": args.SwinIR__drop_path_rate,
+        },
         conv_blueprint={
             "residual": args.ConvolutionalModel__residual,
             "inner_residual": args.ConvolutionalModel__inner_residual,

@@ -42,6 +42,13 @@ class DefaultArgParser(argparse.ArgumentParser):
         self.add_argument("--model_kind", type=str, default="Proposed")
         self.add_argument("--ProposedModel__architecture", type=str,
                           default="Transformer")
+        # SwinIR architecture overrides (extension: the reference CLI pins
+        # the published config, making small smoke runs impossible)
+        self.add_argument("--SwinIR__embed_dim", type=int, default=None)
+        self.add_argument("--SwinIR__depths", type=int, nargs="+", default=None)
+        self.add_argument("--SwinIR__num_heads", type=int, nargs="+", default=None)
+        self.add_argument("--SwinIR__window_size", type=int, default=None)
+        self.add_argument("--SwinIR__drop_path_rate", type=float, default=None)
         self.add_argument("--ConvolutionalModel__residual",
                           action=BooleanOptionalAction, default=True)
         self.add_argument("--ConvolutionalModel__inner_residual",

@@ -65,13 +65,25 @@ KIND_ALIASES = {
 }
 
 
-def swinir_config(*, task: str, sr_factor: Optional[int], homogeneous: bool = False) -> SwinIR:
-    """The reference's trained SwinIR config (ref src/models/__init__.py:51-74)."""
+def swinir_config(
+    *,
+    task: str,
+    sr_factor: Optional[int],
+    homogeneous: bool = False,
+    overrides: Optional[dict] = None,
+) -> SwinIR:
+    """The reference's trained SwinIR config (ref src/models/__init__.py:51-74).
+
+    ``overrides`` (embed_dim / depths / num_heads / window_size / ...) is an
+    extension over the reference — its CLI pins the published architecture,
+    which makes small-scale smoke runs impossible; ``--SwinIR__*`` flags
+    feed through here.
+    """
     if task == "sr" and sr_factor and sr_factor > 1 and not homogeneous:
         upscale, upsampler = sr_factor, "pixelshuffle"
     else:
         upscale, upsampler = 1, None
-    return SwinIR(
+    cfg = dict(
         upscale=upscale,
         upsampler=upsampler,
         img_size=48,
@@ -87,6 +99,12 @@ def swinir_config(*, task: str, sr_factor: Optional[int], homogeneous: bool = Fa
         img_range=1.0,
         resi_connection="1conv",
     )
+    for k, v in (overrides or {}).items():
+        if v is None:
+            continue
+        assert k in cfg, f"unknown SwinIR override {k}"
+        cfg[k] = tuple(v) if isinstance(v, list) else v
+    return SwinIR(**cfg)
 
 
 @dataclasses.dataclass
@@ -181,6 +199,7 @@ def get_model(
     init_input_size: int = 48,
     dtype=jnp.float32,
     homogeneous_swinir: bool = False,
+    swinir_overrides: Optional[dict] = None,
     conv_blueprint: Optional[dict] = None,
     dip_iterations: Optional[int] = None,
     tv_lambd: Optional[float] = None,
@@ -195,7 +214,8 @@ def get_model(
     if kind == "Proposed":
         if architecture == "Transformer":
             module = swinir_config(
-                task=task, sr_factor=sampling_rate, homogeneous=homogeneous_swinir
+                task=task, sr_factor=sampling_rate,
+                homogeneous=homogeneous_swinir, overrides=swinir_overrides,
             )
         elif architecture == "Convolutional":
             bp = conv_blueprint or {}
