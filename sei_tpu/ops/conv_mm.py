@@ -17,6 +17,12 @@ the activation size, so this path is gated to training-crop-sized inputs;
 larger images fall back to lax.conv (XLA's native lowering), keeping eval
 memory bounded.
 
+OUTCOME (real-v5e bench triple, 2026-08-17): the hypothesis was WRONG
+end-to-end - the proposed train step runs 70.3 img/s with this lowering vs
+82.7 img/s with XLA's native conv.  The 9x patch-tensor HBM round-trips
+outweigh the matmul shape win.  The module stays as a tested, env-gated
+(SEI_CONV_MM=1) alternative and a record of the measurement; default OFF.
+
 Parity contract: replaces torch's Conv2d(3x3, padding=1) used throughout
 the reference SwinIR (deepinv vendored; configured at
 /root/reference/src/models/__init__.py:51-74).  Param layout is identical
@@ -103,7 +109,15 @@ class Conv3x3(nn.Module):
             if env is not None:
                 use_mm = env not in ("0", "false", "")
             else:
-                use_mm = jax.default_backend() in ("tpu", "axon")
+                # default OFF: measured END-TO-END on the real v5e
+                # (2026-08-17 bench triple, proposed step b8/48px bf16)
+                # the im2col lowering is a 15% REGRESSION - 70.3 img/s
+                # vs 82.7 with XLA's native conv.  The 9x patch-tensor
+                # HBM traffic costs more than the better-shaped matmuls
+                # save; XLA's conv lowering at C=180 is adequate after
+                # all.  Kept behind SEI_CONV_MM=1 for re-evaluation on
+                # other chips/shapes.
+                use_mm = False
         if use_mm and x.shape[1] * x.shape[2] <= _MM_MAX_PIXELS:
             return conv3x3_mm(x, w, b)
         return _conv3x3_lax(x, w, b)
