@@ -166,6 +166,13 @@ class Trainer:
             self.tx = _optax.chain(
                 _optax.clip_by_global_norm(float(clip)), self.tx
             )
+        # Fuse the optimizer update over one raveled vector: Adam on the
+        # ~300-leaf SwinIR tree costs 17.7 ms/step on the v5e (per-leaf
+        # kernel overhead dominates the O(100 MB) of actual moment traffic)
+        # vs 9.7 ms flattened (experiments/perf_probe_r3h.py).  Masked
+        # fine-tuning needs the tree structure, so it keeps the tree form.
+        if self.trainable_mask is None and _env_flag("SEI_FLAT_OPT", True):
+            self.tx = optax.flatten(self.tx)
         self._pretrained = (
             jax.tree_util.tree_map(jnp.asarray, self.model.params)
             if self.weights_distance_lambda is not None

@@ -139,6 +139,39 @@ def test_sharded_step_matches_single_device(tiny_setup):
         )
 
 
+def test_flat_optimizer_matches_tree(tiny_setup, monkeypatch):
+    """optax.flatten is a pure speed refactor (one raveled Adam vs ~300
+    per-leaf kernels, perf_probe_r3h.py): a step with SEI_FLAT_OPT=1
+    (default) and =0 must produce identical params."""
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
+
+    def one_step(flat):
+        monkeypatch.setenv("SEI_FLAT_OPT", "1" if flat else "0")
+        trainer = Trainer(
+            model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+            batch_size=4, epochs=1, lr=1e-3, crop_size=64, out_dir=None,
+        )
+        state = trainer.init_state()
+        new_state, loss = trainer._get_step(0)(state, cache, trainer.base_key)
+        return float(loss), jax.device_get(new_state.params)
+
+    loss_f, params_f = one_step(True)
+    loss_t, params_t = one_step(False)
+    assert np.isclose(loss_f, loss_t, rtol=1e-6), (loss_f, loss_t)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params_f), jax.tree_util.tree_leaves(params_t)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        )
+
+
 def test_epoch_permutation_sampling():
     """Per-epoch permutation through the PUBLIC sampler API: within one
     epoch every image is visited exactly once, and epochs reshuffle (ref
