@@ -96,7 +96,10 @@ def _pick_group(b: int, h: int, w: int, c: int, itemsize: int,
     gets a smaller budget.  Overridable via SEI_TRUNK_G / SEI_TRUNK_G_BWD.
     """
     env = _env_int(env_name, 0)
-    per_image = h * w * c * (4 * itemsize + 4 * 4)  # cdt + f32 buffers
+    # cdt + f32 activation buffers, plus the fwd-saved residual blocks
+    # resident per grid step: gelu/gelu' (2 x ch ~= 2c), softmax probs
+    # (nh*N*N per window ~= 2c rows) and tfull (~1.4c)
+    per_image = h * w * c * (12 * itemsize + 4 * 4)
     g = 1
     for cand in range(1, b + 1):
         if b % cand == 0 and cand * per_image <= budget_mb * 1024 * 1024:
@@ -143,6 +146,19 @@ def _gelu_exact(x32):
 def _gelu_grad(x32):
     return (0.5 * (1.0 + _erf(x32 / _SQRT_2))
             + x32 * jnp.exp(-0.5 * x32 * x32) * _INV_SQRT_2PI)
+
+
+def _gelu_pair(x32):
+    """(gelu(x), gelu'(x)) sharing one erf evaluation.
+
+    The forward saves both (in the compute dtype) so the backward never
+    re-runs the erf polynomial chains - the r3u probe decomposition showed
+    the MLP backward is VPU-bound on exactly those chains (~5 of its 7 ms
+    per 6-RSTB chain at b8/48px bf16).
+    """
+    cdf = 0.5 * (1.0 + _erf(x32 / _SQRT_2))
+    pdf = jnp.exp(-0.5 * x32 * x32) * _INV_SQRT_2PI
+    return x32 * cdf, cdf + x32 * pdf
 
 
 def _ln_fwd(x32, scale, bias):
@@ -291,8 +307,18 @@ def _env_int(name, default):
     return int(v) if v else default
 
 
+def _prof_skip_set():
+    """Profiling-only branch skips (SEI_TRUNK_PROF_SKIP="attn,mlp,fattn,
+    fmlp"): zero out whole kernel branches at trace time to decompose kernel
+    cost.  Produces WRONG outputs/grads; never set outside perf probes."""
+    import os
+
+    return set(filter(None, os.environ.get(
+        "SEI_TRUNK_PROF_SKIP", "").split(",")))
+
+
 def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
-                     wch: int = None, scratch=None):
+                     wch: int = None, scratch=None, save_attn=None):
     """LN1 -> windows -> qkv -> MSA -> proj -> unwindow.
 
     ``x``: (G, H, W, C).  Returns (y, xhat1, inv1) with y in x.dtype.
@@ -335,7 +361,7 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
         q = qkv[:, :c2].reshape(csz, n, c2)
         k = qkv[:, c2 : 2 * c2].reshape(csz, n, c2)
         v = qkv[:, 2 * c2 :].reshape(csz, n, c2)
-        tparts = []
+        tparts, pparts = [], []
         for t2, (h0, ht) in enumerate(tiles):
             sl = slice(t2 * _TL, (t2 + 1) * _TL)
             q_t, k_t, v_t = q[..., sl], k[..., sl], v[..., sl]
@@ -351,31 +377,44 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
             s = s - jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(cdt)
+            pparts.append(p)
             att = _bdot(p, v_t)  # (csz, ht*N, TL) f32
             tparts.append(jnp.sum(
                 att.reshape(csz, ht, n, _TL) * hm[None, :, None, :],
                 axis=1).astype(cdt))
         tfull = jnp.concatenate(tparts, axis=-1)  # (csz, N, C2)
         o = (_dot(tfull.reshape(csz * n, c2), proj_w) + pd["proj_b"]).astype(cdt)
-        return o.reshape(csz, n, c)
+        # p_all: per-window rows of all tiles stacked -> (csz, nh*N, N)
+        p_all = jnp.concatenate(pparts, axis=1)
+        return o.reshape(csz, n, c), p_all, tfull
 
     if scratch is not None:
+        nhn = dims.nh * n
+
         def chunk(i, _):
             w0 = i * csz
             tchunk = scratch["wa"][pl.ds(w0, csz)]
             mchunk = mask[pl.ds(w0 % nwi, csz)] if shifted else None
-            scratch["wb"][pl.ds(w0, csz)] = attend(tchunk, mchunk)
+            o, p_all, tfull = attend(tchunk, mchunk)
+            if save_attn is not None:
+                p_ref, tf_ref, jj = save_attn
+                p_ref[jj, pl.ds(w0 * nhn, csz * nhn)] = p_all.reshape(
+                    csz * nhn, n)
+                tf_ref[jj, pl.ds(w0 * n, csz * n)] = tfull.reshape(
+                    csz * n, c2)
+            scratch["wb"][pl.ds(w0, csz)] = o
             return 0
         jax.lax.fori_loop(0, nw // csz, chunk, 0)
         out = scratch["wb"][...]
     else:
+        assert save_attn is None
         def chunk(i, out_buf):
             w0 = i * csz
             tchunk = jax.lax.dynamic_slice(tok, (w0, 0, 0), (csz, n, c))
             mchunk = (jax.lax.dynamic_slice(mask, (w0 % nwi, 0, 0), (csz, n, n))
                       if shifted else None)
             return jax.lax.dynamic_update_slice(
-                out_buf, attend(tchunk, mchunk), (w0, 0, 0))
+                out_buf, attend(tchunk, mchunk)[0], (w0, 0, 0))
         out = jax.lax.fori_loop(
             0, nw // csz, chunk, jnp.zeros((nw, n, c), cdt))
     y = _unwindow_tokens(out, g, dims)
@@ -384,11 +423,16 @@ def _attn_branch_fwd(x, pd, rpb_d, mask, dims: TrunkDims, shifted: bool,
     return y, xhat1, inv1
 
 
-def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
+def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None,
+                    save_mlp=None):
     """LN2 -> fc1 -> gelu -> fc2, fori_loop-chunked over token rows.
 
     ``scratch["f1"]`` stages x2 in the COMPUTE dtype (x2 is already cdt, so
     this is exact) and each chunk upcasts to f32 for the LN statistics.
+
+    ``save_mlp``: optional (gl_ref, gp_ref) pallas refs of shape
+    (G*H*W, Ch) in cdt - when given, each chunk also stores gelu(h) and
+    gelu'(h) so the backward skips the fc1 recompute and the erf chains.
     """
     if tch is None:
         tch = _env_int("SEI_TRUNK_TCH", 768)
@@ -405,6 +449,11 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
         z32, _, _ = _ln_fwd(chunk_cdt.astype(jnp.float32),
                             pd["ln2_s"], pd["ln2_b"])
         h32 = _dot(z32.astype(cdt), fc1_w) + pd["fc1_b"]
+        if save_mlp is not None:
+            gelu32, gp32 = _gelu_pair(h32)
+            gelu = gelu32.astype(cdt)
+            out_c = (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
+            return out_c, gelu, gp32.astype(cdt)
         gelu = _gelu_exact(h32).astype(cdt)
         return (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
 
@@ -413,11 +462,20 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
 
         def chunk(i, _):
             t0 = i * csz
-            scratch["ta"][pl.ds(t0, csz)] = ff(scratch["f1"][pl.ds(t0, csz)])
+            res = ff(scratch["f1"][pl.ds(t0, csz)])
+            if save_mlp is not None:
+                gl_ref, gp_ref, jj = save_mlp
+                m, gl, gp = res
+                gl_ref[jj, pl.ds(t0, csz)] = gl
+                gp_ref[jj, pl.ds(t0, csz)] = gp
+            else:
+                m = res
+            scratch["ta"][pl.ds(t0, csz)] = m
             return 0
         jax.lax.fori_loop(0, nt // csz, chunk, 0)
         out = scratch["ta"][...]
     else:
+        assert save_mlp is None
         def chunk(i, out_buf):
             t0 = i * csz
             m = ff(jax.lax.dynamic_slice(flat, (t0, 0), (csz, c)))
@@ -428,7 +486,8 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None):
 
 
 def _block_fwd_image(x, pd, rpb_d, mask, dpm_attn, dpm_mlp, dims: TrunkDims,
-                     shifted: bool, scratch=None):
+                     shifted: bool, scratch=None, save_mlp=None,
+                     save_attn=None):
     """One SwinBlock on one image group (G, H, W, C).
 
     ``dpm_attn``/``dpm_mlp``: per-image drop-path keep factors, broadcastable
@@ -437,19 +496,26 @@ def _block_fwd_image(x, pd, rpb_d, mask, dpm_attn, dpm_mlp, dims: TrunkDims,
 
     Returns (out, x2): the mid-block residual x2 is ALSO saved to HBM by the
     forward kernel so the backward can skip the full attention recompute
-    (the dominant share of the remat cost).
+    (the dominant share of the remat cost).  ``save_mlp``: optional
+    (gl_ref, gp_ref) refs for the gelu/gelu' saves (see _mlp_branch_fwd).
     """
-    y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
-                               scratch=scratch)
+    _prof_skip = _prof_skip_set()
+    if "fattn" in _prof_skip:
+        y = x
+    else:
+        y, _, _ = _attn_branch_fwd(x, pd, rpb_d, mask, dims, shifted,
+                                   scratch=scratch, save_attn=save_attn)
     x2 = (x.astype(jnp.float32) + dpm_attn * y.astype(jnp.float32)).astype(x.dtype)
-    m = _mlp_branch_fwd(x2, pd, dims, scratch=scratch)
+    m = x2 if "fmlp" in _prof_skip else _mlp_branch_fwd(
+        x2, pd, dims, scratch=scratch, save_mlp=save_mlp)
     out = (x2.astype(jnp.float32) + dpm_mlp * m.astype(jnp.float32)).astype(x.dtype)
     return out, x2
 
 
 def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
                      dims: TrunkDims, shifted: bool, wch: int = None,
-                     tch: int = None, scratch=None):
+                     tch: int = None, scratch=None, mlp_saved=None,
+                     attn_saved=None):
     """Backward of one block for one image group; recomputes internals
     chunked (remat style).  ``x2`` (the mid-block residual) arrives from the
     forward's HBM save, so only LN1 statistics - not the whole attention
@@ -463,6 +529,7 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
         wch = _env_int("SEI_TRUNK_WCH", 12)
     if tch is None:
         tch = _env_int("SEI_TRUNK_TCH", 768)
+    _prof_skip = _prof_skip_set()
     cdt = x.dtype
     g = x.shape[0]
     c = dims.c
@@ -489,16 +556,21 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     nt = x2flat.shape[0]
     csz = _chunk_size(nt, tch)
 
-    def mlp_bwd(x2c_cdt, dm):
+    def mlp_bwd(x2c_cdt, dm, saved=None):
         z32, xhat2, inv2 = _ln_fwd(x2c_cdt.astype(jnp.float32),
                                    pd["ln2_s"], pd["ln2_b"])
         zc = z32.astype(cdt)
-        h32 = _dot(zc, fc1_w) + pd["fc1_b"]
-        gelu = _gelu_exact(h32).astype(cdt)
+        if saved is not None:
+            gelu, gp_c = saved  # fwd-saved gelu(h), gelu'(h) in cdt
+        else:
+            h32 = _dot(zc, fc1_w) + pd["fc1_b"]
+            gelu = _gelu_exact(h32).astype(cdt)
+            gp_c = None
         g_fc2w = _dot(gelu, dm.astype(cdt), transpose_a=True)
         g_fc2b = jnp.sum(dm, axis=0)
         dg = _dot(dm.astype(cdt), fc2_w, transpose_b=True)
-        dh = dg * _gelu_grad(h32)
+        dh = dg * (gp_c.astype(jnp.float32) if saved is not None
+                   else _gelu_grad(h32))
         g_fc1w = _dot(zc, dh.astype(cdt), transpose_a=True)
         g_fc1b = jnp.sum(dh, axis=0)
         dz = _dot(dh.astype(cdt), fc1_w, transpose_b=True)
@@ -510,14 +582,19 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     mlp_init = (jnp.zeros((c, ch), z32_), jnp.zeros((ch,), z32_),
                 jnp.zeros((ch, c), z32_), jnp.zeros((c,), z32_),
                 jnp.zeros((c,), z32_), jnp.zeros((c,), z32_))
-    if scratch is not None:
+    if "mlp" in _prof_skip:
+        dx2_b, accs = jnp.zeros((nt, c), z32_), mlp_init
+    elif scratch is not None:
         scratch["f1"][...] = x2flat
         scratch["f2"][...] = dmflat
 
         def mlp_chunk(i, accs):
             t0 = i * csz
+            saved = (None if mlp_saved is None else
+                     (mlp_saved[0][mlp_saved[2], pl.ds(t0, csz)],
+                      mlp_saved[1][mlp_saved[2], pl.ds(t0, csz)]))
             dx2_c, gs = mlp_bwd(scratch["f1"][pl.ds(t0, csz)],
-                                scratch["f2"][pl.ds(t0, csz)])
+                                scratch["f2"][pl.ds(t0, csz)], saved)
             scratch["f3"][pl.ds(t0, csz)] = dx2_c
             return tuple(a + gg for a, gg in zip(accs, gs))
 
@@ -560,7 +637,7 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     c2 = len(tiles) * _TL
     scale = hd ** -0.5
 
-    def attn_bwd(ac_, doc_, mchunk):
+    def attn_bwd(ac_, doc_, mchunk, saved=None):
         ac = ac_.reshape(wcs * n, c)
         qkv = (_dot(ac, qkv_w) + pd["qkv_b"]).astype(cdt)
         q = qkv[:, :c2].reshape(wcs, n, c2)
@@ -569,27 +646,37 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
         doc = doc_.reshape(wcs * n, c)
         dt = _dot(doc.astype(cdt), proj_w, transpose_b=True)  # (.., C2) f32
         dtc = dt.astype(cdt).reshape(wcs, n, c2)
+        if saved is not None:
+            # fwd-saved softmax probs (all tiles' rows stacked per window)
+            p_all = saved[0].reshape(wcs, dims.nh * n, n)
 
         t_parts, dq_parts, dk_parts, dv_parts, rpb_parts = [], [], [], [], []
+        r0 = 0
         for t2, (h0, ht) in enumerate(tiles):
             sl = slice(t2 * _TL, (t2 + 1) * _TL)
             q_t, k_t, v_t = q[..., sl], k[..., sl], v[..., sl]
             hm = _tile_head_mask(ht, hd)
             hmc = hm[None, :, None, :].astype(cdt)
             qm = (q_t[:, None] * hmc).reshape(wcs, ht * n, _TL)
-            s = _bdot(qm, k_t, transpose_b=True) * scale  # (wcs, ht*N, N)
-            s = s.reshape(wcs, ht, n, n) + rpb32[h0 : h0 + ht][None]
-            if shifted:
-                s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
-            s = s.reshape(wcs, ht * n, n)
-            s = s - jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
-            pc = p.astype(cdt)
-            att = _bdot(pc, v_t)  # (wcs, ht*N, TL) f32
-            t_parts.append(jnp.sum(
-                att.reshape(wcs, ht, n, _TL) * hm[None, :, None, :],
-                axis=1).astype(cdt))
+            if saved is not None:
+                pc = p_all[:, r0 : r0 + ht * n]
+                p = pc.astype(jnp.float32)
+                r0 += ht * n
+            else:
+                s = _bdot(qm, k_t, transpose_b=True) * scale  # (wcs, ht*N, N)
+                s = s.reshape(wcs, ht, n, n) + rpb32[h0 : h0 + ht][None]
+                if shifted:
+                    s = s + mchunk.reshape(wcs, 1, n, n).astype(jnp.float32)
+                s = s.reshape(wcs, ht * n, n)
+                s = s - jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s)
+                p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
+                pc = p.astype(cdt)
+            if saved is None:
+                att = _bdot(pc, v_t)  # (wcs, ht*N, TL) f32
+                t_parts.append(jnp.sum(
+                    att.reshape(wcs, ht, n, _TL) * hm[None, :, None, :],
+                    axis=1).astype(cdt))
             # d(att_h) = dt_tile .* m_h (head h owns its lane slice)
             davm = (dtc[..., sl][:, None] * hmc).reshape(wcs, ht * n, _TL)
             dp = _bdot(davm, v_t, transpose_b=True)  # (wcs, ht*N, N) f32
@@ -602,9 +689,13 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
                 dqm.reshape(wcs, ht, n, _TL) * hm[None, :, None, :], axis=1))
             dk_parts.append(_bdot_rows(dsc, qm) * scale)  # (wcs, N, TL)
 
-        tfull = jnp.concatenate(t_parts, axis=-1)  # (wcs, N, C2)
-        g_projw = _dot(tfull.reshape(wcs * n, c2), doc.astype(cdt),
-                       transpose_a=True)  # (C2, C)
+        if saved is not None:
+            g_projw = _dot(saved[1], doc.astype(cdt),
+                           transpose_a=True)  # (C2, C), fwd-saved tfull
+        else:
+            tfull = jnp.concatenate(t_parts, axis=-1)  # (wcs, N, C2)
+            g_projw = _dot(tfull.reshape(wcs * n, c2), doc.astype(cdt),
+                           transpose_a=True)  # (C2, C)
         g_projb = jnp.sum(doc.astype(jnp.float32), axis=0)
         g_rpb = jnp.concatenate(rpb_parts, axis=0)  # (nh, N, N)
         dq = jnp.concatenate(dq_parts, axis=-1)
@@ -623,15 +714,24 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     attn_init = (jnp.zeros((c, 3 * c2), z32_), jnp.zeros((3 * c2,), z32_),
                  jnp.zeros((c2, c), z32_), jnp.zeros((c,), z32_),
                  jnp.zeros((dims.nh, n, n), z32_))
-    if scratch is not None:
+    if "attn" in _prof_skip:
+        da_w, accs = jnp.zeros((nw, n, c), cdt), attn_init
+    elif scratch is not None:
         scratch["wa"][...] = a_tok
         scratch["wb"][...] = do_tok
+
+        nhn = dims.nh * n
 
         def attn_chunk(i, accs):
             w0 = i * wcs
             mchunk = mask[pl.ds(w0 % nwi, wcs)] if shifted else None
+            saved = None
+            if attn_saved is not None:
+                p_ref, tf_ref, jj = attn_saved
+                saved = (p_ref[jj, pl.ds(w0 * nhn, wcs * nhn)],
+                         tf_ref[jj, pl.ds(w0 * n, wcs * n)])
             da_c, gs = attn_bwd(scratch["wa"][pl.ds(w0, wcs)],
-                                scratch["wb"][pl.ds(w0, wcs)], mchunk)
+                                scratch["wb"][pl.ds(w0, wcs)], mchunk, saved)
             scratch["wc"][pl.ds(w0, wcs)] = da_c
             return tuple(a + gg for a, gg in zip(accs, gs))
 
@@ -735,12 +835,16 @@ def _dpm_group(dpm_ref, d, branch, ib, dims: TrunkDims):
     return acc
 
 
-def _fwd_kernel(dims: TrunkDims,
+def _fwd_kernel(dims: TrunkDims, with_saves: bool,
                 x_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, xs2_ref,
-     x_scr, wa, wb, ta, f1) = refs
+    if with_saves:
+        (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, xs2_ref, gl_ref, gp_ref,
+         p_ref, tf_ref, x_scr, wa, wb, ta, f1) = refs
+    else:
+        (rpb_ref, mask_ref, dpm_ref, y_ref,
+         x_scr, wa, wb, ta, f1) = refs
     scratch = {"wa": wa, "wb": wb, "ta": ta, "f1": f1}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair index
@@ -752,15 +856,20 @@ def _fwd_kernel(dims: TrunkDims,
 
     x = x_scr[...]
     for j in range(2):  # (no-shift, shift) pair
-        xs_ref[j] = x
+        if with_saves:
+            xs_ref[j] = x
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
         d_idx = 2 * ip + j
         dpm_a = _dpm_group(dpm_ref, d_idx, 0, ib, dims)
         dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
-        x, x2 = _block_fwd_image(x, pd, rpb_ref[0, j], mask_ref, dpm_a,
-                                 dpm_m, dims, shifted, scratch=scratch)
-        xs2_ref[j] = x2
+        x, x2 = _block_fwd_image(
+            x, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m, dims, shifted,
+            scratch=scratch,
+            save_mlp=(gl_ref, gp_ref, j) if with_saves else None,
+            save_attn=(p_ref, tf_ref, j) if with_saves else None)
+        if with_saves:
+            xs2_ref[j] = x2
     x_scr[...] = x
 
     @pl.when(ip == npairs - 1)
@@ -772,9 +881,10 @@ def _bwd_kernel(dims: TrunkDims,
                 dy_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref, dx_ref, drpb_ref = refs[:7]
-    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[7:19])}
-    dx_scr, wa, wb, wc, f1, f2, f3 = refs[19:26]
+    (rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref, gl_ref, gp_ref,
+     p_ref, tf_ref, dx_ref, drpb_ref) = refs[:11]
+    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[11:23])}
+    dx_scr, wa, wb, wc, f1, f2, f3 = refs[23:30]
     scratch = {"wa": wa, "wb": wb, "wc": wc, "f1": f1, "f2": f2, "f3": f3}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair axis walked in reverse via the index maps
@@ -796,7 +906,8 @@ def _bwd_kernel(dims: TrunkDims,
         dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
         dx, gr, drpb_d = _block_bwd_image(
             dx, x_in, x2_in, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m,
-            dims, shifted, scratch=scratch)
+            dims, shifted, scratch=scratch, mlp_saved=(gl_ref, gp_ref, j),
+            attn_saved=(p_ref, tf_ref, j))
         for k in _W_ORDER:
             dw_refs[k][0, 0, j] = gr[k].astype(dw_refs[k].dtype)
         drpb_ref[0, 0, j] = drpb_d
@@ -815,7 +926,8 @@ def _pair_spec(shp_pairized, index_map):
                         memory_space=pltpu.VMEM)
 
 
-def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
+def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False,
+                with_saves=True):
     npairs = dims.d // 2
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
@@ -837,20 +949,36 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
                            memory_space=pltpu.VMEM)
     xs_shape = jax.ShapeDtypeStruct(
         (dims.d, dims.b, dims.h, dims.w, dims.c), x.dtype)
-    out_specs = (
-        pl.BlockSpec((g, dims.h, dims.w, dims.c), lambda ib, ip: (ib, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        xs_spec,
-        xs_spec,  # xs2: mid-block residuals (skip attention recompute in bwd)
-    )
-    out_shapes = (
-        jax.ShapeDtypeStruct(x.shape, x.dtype),
-        xs_shape,
-        xs_shape,
-    )
+    # gelu/gelu' saves: (D, B*H*W, Ch) flattened rows so the kernel's chunk
+    # loop can store with one pl.ds row offset per chunk
+    l = dims.h * dims.w
+    gl_spec = pl.BlockSpec((2, g * l, dims.ch),
+                           lambda ib, ip: (ip, ib, 0),
+                           memory_space=pltpu.VMEM)
+    gl_shape = jax.ShapeDtypeStruct((dims.d, dims.b * l, dims.ch), x.dtype)
+    # softmax probs: per window, all tiles' (ht*N) rows stacked -> nh*N rows
+    nhn = dims.nh * n
+    c2 = len(_head_tiling(dims.nh, dims.c // dims.nh)) * _TL
+    p_spec = pl.BlockSpec((2, g * nw * nhn, n), lambda ib, ip: (ip, ib, 0),
+                          memory_space=pltpu.VMEM)
+    p_shape = jax.ShapeDtypeStruct((dims.d, dims.b * nw * nhn, n), x.dtype)
+    tf_spec = pl.BlockSpec((2, g * nw * n, c2), lambda ib, ip: (ip, ib, 0),
+                           memory_space=pltpu.VMEM)
+    tf_shape = jax.ShapeDtypeStruct((dims.d, dims.b * nw * n, c2), x.dtype)
+    y_spec = pl.BlockSpec((g, dims.h, dims.w, dims.c),
+                          lambda ib, ip: (ib, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    if with_saves:
+        out_specs = (y_spec, xs_spec, xs_spec, gl_spec, gl_spec,
+                     p_spec, tf_spec)
+        out_shapes = (jax.ShapeDtypeStruct(x.shape, x.dtype), xs_shape,
+                      xs_shape, gl_shape, gl_shape, p_shape, tf_shape)
+    else:
+        out_specs = (y_spec,)
+        out_shapes = (jax.ShapeDtypeStruct(x.shape, x.dtype),)
     mask_arr = _mask_array(mask, dims)
-    y, xs, xs2 = pl.pallas_call(
-        functools.partial(_fwd_kernel, dims),
+    outs = pl.pallas_call(
+        functools.partial(_fwd_kernel, dims, with_saves),
         grid=(dims.b // g, npairs),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -866,11 +994,11 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False):
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(x, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm)
-    return y, xs, xs2
+    return outs if with_saves else (outs[0],)
 
 
-def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims: TrunkDims,
-                interpret=False):
+def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp, pp, tf, dy,
+                dims: TrunkDims, interpret=False):
     npairs = dims.d // 2
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
@@ -893,6 +1021,19 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims: TrunkDims,
         pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
                      lambda ib, ip: (npairs - 1 - ip, ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # xs2
+        pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
+                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                     memory_space=pltpu.VMEM),  # gl (fwd-saved gelu)
+        pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
+                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                     memory_space=pltpu.VMEM),  # gp (fwd-saved gelu')
+        pl.BlockSpec((2, g * nw * dims.nh * n, n),
+                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                     memory_space=pltpu.VMEM),  # p (fwd-saved softmax probs)
+        pl.BlockSpec((2, g * nw * n,
+                      len(_head_tiling(dims.nh, dims.c // dims.nh)) * _TL),
+                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                     memory_space=pltpu.VMEM),  # tfull (fwd-saved attn out)
     ]
     # outputs: dx (B,...); PER-GROUP drpb and weight grads (B//G, P, 2, ...)
     # that XLA sum-reduces over groups afterwards (keeps VMEM small).
@@ -936,7 +1077,8 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims: TrunkDims,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
-    )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs, xs2)
+    )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs, xs2,
+      gl, gp, pp, tf)
     dx = outs[0]
     drpb = jnp.sum(outs[1], axis=0).reshape((dims.d, dims.nh, n, n))
     dparams = {
@@ -954,24 +1096,26 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims: TrunkDims,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5, 6, 7, 8))
 def _trunk_pallas(x, params, rpb, mask, dpm, num_heads, window_size,
                   interpret, gs):
-    dims = make_dims(x.shape, params, num_heads, window_size, g=gs[0])
-    y, _, _ = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret)
+    # primal (no-grad) path: save-free forward with its own (bigger) group
+    dims = make_dims(x.shape, params, num_heads, window_size, g=gs[2])
+    y = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret,
+                    with_saves=False)[0]
     return y
 
 
 def _trunk_fwd(x, params, rpb, mask, dpm, num_heads, window_size, interpret,
                gs):
     dims = make_dims(x.shape, params, num_heads, window_size, g=gs[0])
-    y, xs, xs2 = _fwd_pallas(x, params, rpb, mask, dpm, dims,
-                             interpret=interpret)
-    return y, (x.shape, params, rpb, dpm, xs, xs2)
+    y, xs, xs2, gl, gp, pp, tf = _fwd_pallas(x, params, rpb, mask, dpm, dims,
+                                             interpret=interpret)
+    return y, (x.shape, params, rpb, dpm, xs, xs2, gl, gp, pp, tf)
 
 
 def _trunk_bwd(mask, num_heads, window_size, interpret, gs, res, dy):
-    x_shape, params, rpb, dpm, xs, xs2 = res
+    x_shape, params, rpb, dpm, xs, xs2, gl, gp, pp, tf = res
     dims = make_dims(x_shape, params, num_heads, window_size, g=gs[1])
-    dx, dparams, drpb = _bwd_pallas(params, rpb, mask, dpm, xs, xs2, dy, dims,
-                                    interpret=interpret)
+    dx, dparams, drpb = _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp,
+                                    pp, tf, dy, dims, interpret=interpret)
     return dx, dparams, drpb.astype(rpb.dtype), jnp.zeros_like(dpm)
 
 
@@ -1012,8 +1156,12 @@ def swin_trunk(
         mask = np.ascontiguousarray(mask, dtype=np.float32)
     b, h, w, c = x.shape
     gs = (
-        _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G"),
-        _pick_group(b, h, w, c, x.dtype.itemsize, 20, "SEI_TRUNK_G_BWD"),
+        # fwd-with-saves / bwd carry ~2x-buffered save blocks: at 48px bf16
+        # per-image ~16.6 MB -> G=1 (G=2 overflows the Mosaic allocator,
+        # measured r3w); the save-free primal keeps the old roomier budget.
+        _pick_group(b, h, w, c, x.dtype.itemsize, 16, "SEI_TRUNK_G"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 16, "SEI_TRUNK_G_BWD"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G_EVAL"),
     )
     # tile-aligned head packing (exact 0/1 matmuls OUTSIDE the custom_vjp,
     # so autodiff maps the packed-layout grads back to the raw params)
