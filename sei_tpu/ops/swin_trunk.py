@@ -835,13 +835,19 @@ def _dpm_group(dpm_ref, d, branch, ib, dims: TrunkDims):
     return acc
 
 
-def _fwd_kernel(dims: TrunkDims, with_saves: bool,
+def _fwd_kernel(dims: TrunkDims, mode: str,
                 x_ref, *rest):
+    """mode: "full" (xs/xs2 + gelu/p/tfull saves, bf16 training),
+    "xs" (xs/xs2 only - the recompute backward, f32 training),
+    "none" (y only - the eval primal)."""
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    if with_saves:
+    if mode == "full":
         (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, xs2_ref, gl_ref, gp_ref,
          p_ref, tf_ref, x_scr, wa, wb, ta, f1) = refs
+    elif mode == "xs":
+        (rpb_ref, mask_ref, dpm_ref, y_ref, xs_ref, xs2_ref,
+         x_scr, wa, wb, ta, f1) = refs
     else:
         (rpb_ref, mask_ref, dpm_ref, y_ref,
          x_scr, wa, wb, ta, f1) = refs
@@ -856,7 +862,7 @@ def _fwd_kernel(dims: TrunkDims, with_saves: bool,
 
     x = x_scr[...]
     for j in range(2):  # (no-shift, shift) pair
-        if with_saves:
+        if mode != "none":
             xs_ref[j] = x
         pd = {k: w_refs[k][0, j] for k in _W_ORDER}
         shifted = (j == 1) and dims.shift > 0
@@ -866,9 +872,9 @@ def _fwd_kernel(dims: TrunkDims, with_saves: bool,
         x, x2 = _block_fwd_image(
             x, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m, dims, shifted,
             scratch=scratch,
-            save_mlp=(gl_ref, gp_ref, j) if with_saves else None,
-            save_attn=(p_ref, tf_ref, j) if with_saves else None)
-        if with_saves:
+            save_mlp=(gl_ref, gp_ref, j) if mode == "full" else None,
+            save_attn=(p_ref, tf_ref, j) if mode == "full" else None)
+        if mode != "none":
             xs2_ref[j] = x2
     x_scr[...] = x
 
@@ -877,14 +883,20 @@ def _fwd_kernel(dims: TrunkDims, with_saves: bool,
         y_ref[...] = x
 
 
-def _bwd_kernel(dims: TrunkDims,
+def _bwd_kernel(dims: TrunkDims, with_saved: bool,
                 dy_ref, *rest):
     refs = list(rest)
     w_refs = {k: refs.pop(0) for k in _W_ORDER}
-    (rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref, gl_ref, gp_ref,
-     p_ref, tf_ref, dx_ref, drpb_ref) = refs[:11]
-    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[11:23])}
-    dx_scr, wa, wb, wc, f1, f2, f3 = refs[23:30]
+    if with_saved:
+        (rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref, gl_ref, gp_ref,
+         p_ref, tf_ref, dx_ref, drpb_ref) = refs[:11]
+        refs = refs[11:]
+    else:
+        (rpb_ref, mask_ref, dpm_ref, xs_ref, xs2_ref,
+         dx_ref, drpb_ref) = refs[:7]
+        refs = refs[7:]
+    dw_refs = {k: r for k, r in zip(_W_ORDER, refs[:12])}
+    dx_scr, wa, wb, wc, f1, f2, f3 = refs[12:19]
     scratch = {"wa": wa, "wb": wb, "wc": wc, "f1": f1, "f2": f2, "f3": f3}
     ib = pl.program_id(0)
     ip = pl.program_id(1)  # pair axis walked in reverse via the index maps
@@ -906,8 +918,9 @@ def _bwd_kernel(dims: TrunkDims,
         dpm_m = _dpm_group(dpm_ref, d_idx, 1, ib, dims)
         dx, gr, drpb_d = _block_bwd_image(
             dx, x_in, x2_in, pd, rpb_ref[0, j], mask_ref, dpm_a, dpm_m,
-            dims, shifted, scratch=scratch, mlp_saved=(gl_ref, gp_ref, j),
-            attn_saved=(p_ref, tf_ref, j))
+            dims, shifted, scratch=scratch,
+            mlp_saved=(gl_ref, gp_ref, j) if with_saved else None,
+            attn_saved=(p_ref, tf_ref, j) if with_saved else None)
         for k in _W_ORDER:
             dw_refs[k][0, 0, j] = gr[k].astype(dw_refs[k].dtype)
         drpb_ref[0, 0, j] = drpb_d
@@ -927,7 +940,7 @@ def _pair_spec(shp_pairized, index_map):
 
 
 def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False,
-                with_saves=True):
+                mode="full"):
     npairs = dims.d // 2
     n = dims.ws * dims.ws
     nw = (dims.h // dims.ws) * (dims.w // dims.ws)
@@ -968,17 +981,21 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False,
     y_spec = pl.BlockSpec((g, dims.h, dims.w, dims.c),
                           lambda ib, ip: (ib, 0, 0, 0),
                           memory_space=pltpu.VMEM)
-    if with_saves:
+    if mode == "full":
         out_specs = (y_spec, xs_spec, xs_spec, gl_spec, gl_spec,
                      p_spec, tf_spec)
         out_shapes = (jax.ShapeDtypeStruct(x.shape, x.dtype), xs_shape,
                       xs_shape, gl_shape, gl_shape, p_shape, tf_shape)
+    elif mode == "xs":
+        out_specs = (y_spec, xs_spec, xs_spec)
+        out_shapes = (jax.ShapeDtypeStruct(x.shape, x.dtype), xs_shape,
+                      xs_shape)
     else:
         out_specs = (y_spec,)
         out_shapes = (jax.ShapeDtypeStruct(x.shape, x.dtype),)
     mask_arr = _mask_array(mask, dims)
     outs = pl.pallas_call(
-        functools.partial(_fwd_kernel, dims, with_saves),
+        functools.partial(_fwd_kernel, dims, mode),
         grid=(dims.b // g, npairs),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -994,7 +1011,7 @@ def _fwd_pallas(x, params, rpb, mask, dpm, dims: TrunkDims, interpret=False,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(x, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm)
-    return outs if with_saves else (outs[0],)
+    return outs
 
 
 def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp, pp, tf, dy,
@@ -1021,20 +1038,25 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp, pp, tf, dy,
         pl.BlockSpec((2, g, dims.h, dims.w, dims.c),
                      lambda ib, ip: (npairs - 1 - ip, ib, 0, 0, 0),
                      memory_space=pltpu.VMEM),  # xs2
-        pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
-                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
-                     memory_space=pltpu.VMEM),  # gl (fwd-saved gelu)
-        pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
-                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
-                     memory_space=pltpu.VMEM),  # gp (fwd-saved gelu')
-        pl.BlockSpec((2, g * nw * dims.nh * n, n),
-                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
-                     memory_space=pltpu.VMEM),  # p (fwd-saved softmax probs)
-        pl.BlockSpec((2, g * nw * n,
-                      len(_head_tiling(dims.nh, dims.c // dims.nh)) * _TL),
-                     lambda ib, ip: (npairs - 1 - ip, ib, 0),
-                     memory_space=pltpu.VMEM),  # tfull (fwd-saved attn out)
     ]
+    with_saved = gl is not None
+    if with_saved:
+        in_specs += [
+            pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
+                         lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                         memory_space=pltpu.VMEM),  # gl (fwd-saved gelu)
+            pl.BlockSpec((2, g * dims.h * dims.w, dims.ch),
+                         lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                         memory_space=pltpu.VMEM),  # gp (fwd-saved gelu')
+            pl.BlockSpec((2, g * nw * dims.nh * n, n),
+                         lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                         memory_space=pltpu.VMEM),  # p (fwd-saved probs)
+            pl.BlockSpec((2, g * nw * n,
+                          len(_head_tiling(dims.nh,
+                                           dims.c // dims.nh)) * _TL),
+                         lambda ib, ip: (npairs - 1 - ip, ib, 0),
+                         memory_space=pltpu.VMEM),  # tfull (fwd-saved)
+        ]
     # outputs: dx (B,...); PER-GROUP drpb and weight grads (B//G, P, 2, ...)
     # that XLA sum-reduces over groups afterwards (keeps VMEM small).
     out_specs = [
@@ -1059,8 +1081,9 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp, pp, tf, dy,
             (nb,) + pshp, jnp.float32))
 
     mask_arr = _mask_array(mask, dims)
+    saved_args = (gl, gp, pp, tf) if with_saved else ()
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, dims),
+        functools.partial(_bwd_kernel, dims, with_saved),
         grid=(nb, npairs),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -1078,7 +1101,7 @@ def _bwd_pallas(params, rpb, mask, dpm, xs, xs2, gl, gp, pp, tf, dy,
             vmem_limit_bytes=112 * 1024 * 1024),
         interpret=interpret,
     )(dy, *[pparams[k] for k in _W_ORDER], prpb, mask_arr, dpm, xs, xs2,
-      gl, gp, pp, tf)
+      *saved_args)
     dx = outs[0]
     drpb = jnp.sum(outs[1], axis=0).reshape((dims.d, dims.nh, n, n))
     dparams = {
@@ -1099,15 +1122,20 @@ def _trunk_pallas(x, params, rpb, mask, dpm, num_heads, window_size,
     # primal (no-grad) path: save-free forward with its own (bigger) group
     dims = make_dims(x.shape, params, num_heads, window_size, g=gs[2])
     y = _fwd_pallas(x, params, rpb, mask, dpm, dims, interpret=interpret,
-                    with_saves=False)[0]
+                    mode="none")[0]
     return y
 
 
 def _trunk_fwd(x, params, rpb, mask, dpm, num_heads, window_size, interpret,
                gs):
     dims = make_dims(x.shape, params, num_heads, window_size, g=gs[0])
-    y, xs, xs2, gl, gp, pp, tf = _fwd_pallas(x, params, rpb, mask, dpm, dims,
-                                             interpret=interpret)
+    if gs[3]:  # save-carrying forward (bf16 training)
+        y, xs, xs2, gl, gp, pp, tf = _fwd_pallas(
+            x, params, rpb, mask, dpm, dims, interpret=interpret)
+    else:      # xs-only forward + recompute backward (f32 / large shapes)
+        y, xs, xs2 = _fwd_pallas(x, params, rpb, mask, dpm, dims,
+                                 interpret=interpret, mode="xs")
+        gl = gp = pp = tf = None
     return y, (x.shape, params, rpb, dpm, xs, xs2, gl, gp, pp, tf)
 
 
@@ -1155,13 +1183,24 @@ def swin_trunk(
         assert isinstance(mask, np.ndarray), "mask must be a numpy constant"
         mask = np.ascontiguousarray(mask, dtype=np.float32)
     b, h, w, c = x.shape
+    # The gelu/gelu'/p/tfull saves pay for themselves in bf16 (the r3u/r3x
+    # probes: 6-RSTB chain grad 29.8 -> 24.0 ms) but their f32 blocks
+    # overflow the Mosaic VMEM allocator even at G=1 (measured r3x), so f32
+    # training keeps the bit-exact recompute backward.
+    saves_on = x.dtype == jnp.bfloat16
+    env_saves = os.environ.get("SEI_TRUNK_SAVES")
+    if env_saves is not None:
+        saves_on = env_saves not in ("0", "false", "")
     gs = (
         # fwd-with-saves / bwd carry ~2x-buffered save blocks: at 48px bf16
         # per-image ~16.6 MB -> G=1 (G=2 overflows the Mosaic allocator,
         # measured r3w); the save-free primal keeps the old roomier budget.
-        _pick_group(b, h, w, c, x.dtype.itemsize, 16, "SEI_TRUNK_G"),
-        _pick_group(b, h, w, c, x.dtype.itemsize, 16, "SEI_TRUNK_G_BWD"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 16 if saves_on else 36,
+                    "SEI_TRUNK_G"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 16 if saves_on else 20,
+                    "SEI_TRUNK_G_BWD"),
         _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G_EVAL"),
+        saves_on,
     )
     # tile-aligned head packing (exact 0/1 matmuls OUTSIDE the custom_vjp,
     # so autodiff maps the packed-layout grads back to the raw params)
