@@ -129,6 +129,53 @@ def test_kernel_grads_match_reference(setup):
                                    rtol=5e-4, atol=5e-5)
 
 
+def test_kernel_bf16_full_saves_mode(setup):
+    """bf16 inputs take the save-carrying forward + saved-tensor backward
+    (mode="full"); f32 takes the recompute backward (mode="xs").  The bf16
+    kernel must match the bf16 reference: outputs tightly (same math, saved
+    tensors are exact casts of what the fwd computed), grads loosely (the
+    backward consumes bf16-stored p/gelu' where the reference recomputes
+    them in f32 - perturbations at bf16 resolution)."""
+    x, params, rpb, mask, dpm, _ = setup
+    xb = x.astype(jnp.bfloat16)
+    got = swin_trunk(xb, params, rpb, mask, dpm, num_heads=NH,
+                     window_size=WS, use_pallas=True, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    want = trunk_reference(xb, params, rpb, mask, dpm,
+                           num_heads=NH, window_size=WS)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+    tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.float32)
+
+    def loss(fn):
+        def f(params, rpb):
+            y = fn(xb, params, rpb, mask, dpm,
+                   num_heads=NH, window_size=WS)
+            return jnp.mean((y.astype(jnp.float32) - tgt) ** 2)
+        return f
+
+    gk = jax.grad(loss(lambda *a, **kw: swin_trunk(
+        *a, use_pallas=True, interpret=True, **kw)), argnums=(0, 1))(
+            params, rpb)
+    gr = jax.grad(loss(trunk_reference), argnums=(0, 1))(params, rpb)
+    for a, b in zip(jax.tree_util.tree_leaves(gk),
+                    jax.tree_util.tree_leaves(gr)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=3e-2)
+
+    # primal (save-free, eval) and vjp-forward (save-carrying) agree
+    y_vjp, _ = jax.vjp(
+        lambda xx: swin_trunk(xx, params, rpb, mask, dpm, num_heads=NH,
+                              window_size=WS, use_pallas=True,
+                              interpret=True), xb)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(y_vjp, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_kernel_multi_image_groups(setup, monkeypatch):
     """G>1 (multiple images per grid step) == G=1 == reference."""
     x, params, rpb, mask, dpm, _ = setup
