@@ -28,11 +28,16 @@ hidden, N = ws*ws, nh heads, nW windows per image):
 
 Forward grid: (B//G, D//2) - one image GROUP per outer step, one (no-shift,
 shift) block PAIR per inner step (shift parity is static, no lax.cond); the
-group's activations live in VMEM scratch across the pair steps, block inputs
-are saved to HBM (``xs``) for the backward.  Backward grid: (B//G, D//2)
-with the pair axis reversed; recomputes block internals chunk-by-chunk
-(remat style) and emits PER-GROUP weight grads (B//G, D, ...) that XLA
-sum-reduces.
+group's activations live in VMEM scratch across the pair steps.  The
+forward has three modes: "full" (bf16 training) saves block inputs xs,
+mid-block residuals xs2, gelu(h), gelu'(h), softmax probs p and the
+attention output tfull to HBM so the backward does NO transcendental or
+attention recompute (the r3u probes showed the recompute backward was
+~half VPU-bound on f32 erf/softmax chains); "xs" (f32 training) saves only
+xs/xs2 and recomputes the rest bit-exactly (the f32 save blocks overflow
+the Mosaic VMEM allocator); "none" (eval primal) saves nothing.  Backward
+grid: (B//G, D//2) with the pair axis reversed; emits PER-GROUP weight
+grads (B//G, D, ...) that XLA sum-reduces.
 
 Attention layout (the round-3 restructure): Mosaic cannot reshape-split the
 LANE dim (C -> nh x hd), and per-head batched matmuls (M=N=64) use <20% of
