@@ -166,6 +166,60 @@ def _gelu_pair(x32):
     return x32 * cdf, cdf + x32 * pdf
 
 
+# Chebyshev-fitted odd polynomials on [-4, 4] (exact-saturation tails):
+# Phi(x) = 0.5 + x*Q1(x^2), x*pdf(x) = x*Q2(x^2).  Full-f32-range max errors
+# |gelu| <= 1.3e-4, |gelu'| <= 5.1e-4 - an order below bf16 resolution
+# (2^-8 ~ 3.9e-3 rel), at ~3x fewer VPU ops than the erf chain (no divide,
+# no exp).  Used only when the compute dtype is bf16 (SEI_FAST_GELU
+# overrides); f32 keeps the exact A&S erf.
+_GELU_XC = 4.0
+_C_PHI = (0.3989390292359633, -0.06647417597398475, 0.009949619744973907,
+          -0.0011709367759583488, 0.00010915483414148812,
+          -7.956239157270749e-06, 4.340088563312956e-07,
+          -1.6419572555948384e-08, 3.7875219898373147e-10,
+          -3.969025307598051e-12)
+_C_XPDF = (0.3988928463183661, -0.19922337402921744, 0.04949916878279405,
+           -0.008056541327475311, 0.0009400990867306437,
+           -8.006941709520028e-05, 4.854256860196168e-06,
+           -1.9705490399271182e-07, 4.764393641533242e-09,
+           -5.154521748137964e-11)
+
+
+def _horner(coefs, u):
+    acc = jnp.full_like(u, coefs[-1])
+    for c in coefs[-2::-1]:
+        acc = acc * u + c
+    return acc
+
+
+def _gelu_fast(x32):
+    xc = jnp.clip(x32, -_GELU_XC, _GELU_XC)
+    u = xc * xc
+    phi = 0.5 + xc * _horner(_C_PHI, u)
+    phi = jnp.where(x32 > _GELU_XC, 1.0,
+                    jnp.where(x32 < -_GELU_XC, 0.0, phi))
+    return x32 * phi
+
+
+def _gelu_pair_fast(x32):
+    xc = jnp.clip(x32, -_GELU_XC, _GELU_XC)
+    u = xc * xc
+    inr = jnp.abs(x32) <= _GELU_XC
+    phi = jnp.where(inr, 0.5 + xc * _horner(_C_PHI, u),
+                    jnp.where(x32 > 0, 1.0, 0.0))
+    xpdf = jnp.where(inr, xc * _horner(_C_XPDF, u), 0.0)
+    return x32 * phi, phi + xpdf
+
+
+def _use_fast_gelu(cdt):
+    import os
+
+    env = os.environ.get("SEI_FAST_GELU")
+    if env is not None:
+        return env not in ("0", "false", "")
+    return cdt == jnp.bfloat16
+
+
 def _ln_fwd(x32, scale, bias):
     """x32 (..., C) f32 -> (y32, xhat, inv_sigma)."""
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -454,12 +508,13 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None,
         z32, _, _ = _ln_fwd(chunk_cdt.astype(jnp.float32),
                             pd["ln2_s"], pd["ln2_b"])
         h32 = _dot(z32.astype(cdt), fc1_w) + pd["fc1_b"]
+        fast = _use_fast_gelu(cdt)
         if save_mlp is not None:
-            gelu32, gp32 = _gelu_pair(h32)
+            gelu32, gp32 = (_gelu_pair_fast if fast else _gelu_pair)(h32)
             gelu = gelu32.astype(cdt)
             out_c = (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
             return out_c, gelu, gp32.astype(cdt)
-        gelu = _gelu_exact(h32).astype(cdt)
+        gelu = (_gelu_fast if fast else _gelu_exact)(h32).astype(cdt)
         return (_dot(gelu, fc2_w) + pd["fc2_b"]).astype(cdt)
 
     if scratch is not None:
@@ -569,13 +624,17 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
             gelu, gp_c = saved  # fwd-saved gelu(h), gelu'(h) in cdt
         else:
             h32 = _dot(zc, fc1_w) + pd["fc1_b"]
-            gelu = _gelu_exact(h32).astype(cdt)
+            # the recompute MUST use the same gelu variant as the forward
+            if _use_fast_gelu(cdt):
+                gelu32, gp32 = _gelu_pair_fast(h32)
+            else:
+                gelu32, gp32 = _gelu_exact(h32), _gelu_grad(h32)
+            gelu = gelu32.astype(cdt)
             gp_c = None
         g_fc2w = _dot(gelu, dm.astype(cdt), transpose_a=True)
         g_fc2b = jnp.sum(dm, axis=0)
         dg = _dot(dm.astype(cdt), fc2_w, transpose_b=True)
-        dh = dg * (gp_c.astype(jnp.float32) if saved is not None
-                   else _gelu_grad(h32))
+        dh = dg * (gp_c.astype(jnp.float32) if saved is not None else gp32)
         g_fc1w = _dot(zc, dh.astype(cdt), transpose_a=True)
         g_fc1b = jnp.sum(dh, axis=0)
         dz = _dot(dh.astype(cdt), fc1_w, transpose_b=True)
