@@ -393,6 +393,11 @@ def test_fused_trunk_under_mesh_interpret(monkeypatch):
         return step
 
     loss_f, grads_f = make_step(fused)(params_r, x_s, tgt_s)
+    # bf16 leg: the save-carrying "full" kernel mode (fast-gelu + fwd-saved
+    # residuals) - the actual production training configuration - under the
+    # same sharded step
+    fused16 = SwinIR(fused_trunk=True, dtype=jnp.bfloat16, **cfg)
+    loss_f16, grads_f16 = make_step(fused16)(params_r, x_s, tgt_s)
     monkeypatch.delenv("SEI_TRUNK_INTERPRET")
     loss_u, grads_u = make_step(unfused)(params_r, x_s, tgt_s)
     assert np.isclose(float(loss_f), float(loss_u), rtol=1e-5)
@@ -400,5 +405,9 @@ def test_fused_trunk_under_mesh_interpret(monkeypatch):
                     jax.tree_util.tree_leaves(grads_u)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-6)
+    assert np.isfinite(float(loss_f16))
+    assert np.isclose(float(loss_f16), float(loss_u), rtol=5e-2)
+    for g16 in jax.tree_util.tree_leaves(grads_f16):
+        assert np.isfinite(np.asarray(g16, np.float32)).all()
     # the loss really was computed from sharded inputs over 8 devices
     assert len(x_s.sharding.device_set) == 8
