@@ -121,3 +121,30 @@ def test_bm3d_deblur_improves_psnr():
     model = get_model(kind="BM3D", task="deblurring", physics=phys, noise_level=5)
     out = np.asarray(model(jnp.asarray(y)))
     assert float(psnr(out, x)) > float(psnr(y, x))
+
+
+def test_bench_leg_and_sweep():
+    """utils.bench: fresh-closure legs honor trace-time env knobs (the
+    round-3 probe-poisoning class; STATUS 'Probe-methodology findings')."""
+    import os
+
+    import jax.numpy as jnp
+
+    from sei_tpu.utils.bench import bench_leg, sweep
+
+    x = jnp.ones((8, 8), jnp.float32)
+
+    def make_fn():
+        k = float(os.environ.get("SEI_TEST_KNOB", "1"))
+
+        def fn(xx, t):
+            return xx * k + t
+
+        return fn
+
+    ms = bench_leg(make_fn, x, iters=2, windows=2)
+    assert ms >= 0.0
+    res = sweep([("k1", {"SEI_TEST_KNOB": "1"}, make_fn),
+                 ("k2", {"SEI_TEST_KNOB": "2"}, make_fn)], x)
+    assert set(res) == {"k1", "k2"}
+    assert os.environ.get("SEI_TEST_KNOB") is None
