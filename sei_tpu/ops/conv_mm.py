@@ -66,6 +66,43 @@ def conv3x3_mm(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None):
     return y
 
 
+def conv3x3_taps(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None):
+    """3x3 SAME conv, NHWC, as 9 shifted dot_generals (no patch tensor).
+
+    Same contract as conv3x3_mm, but instead of materializing the 9x im2col
+    patch tensor in HBM it contracts each of the 9 taps directly on the
+    channel axis:
+
+      forward : 9 x (B*H*W, Cin) @ (Cin, Cout), accumulated in f32
+      dW      : 9 x (Cin, B*H*W) @ (B*H*W, Cout)  (autodiff of dot_general)
+      dX      : 9 x (B*H*W, Cout) @ (Cout, Cin) + shifted adds
+                (autodiff of the pad/slice = dynamic_update_slice adds)
+
+    This keeps HBM traffic at ~1x the activation per tap read (XLA fuses the
+    slice into the matmul operand) while every contraction stays MXU-shaped.
+    Motivated by the conv_mm measurement above: the patch tensor, not the
+    matmul shapes, was the regression.
+    """
+    bsz, h, wd, cin = x.shape
+    cout = w.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    wt = w.astype(x.dtype)
+    acc = None
+    for i in range(3):
+        for j in range(3):
+            xs = jax.lax.dynamic_slice(xp, (0, i, j, 0), (bsz, h, wd, cin))
+            part = jax.lax.dot_general(
+                xs, wt[i, j],
+                (((3,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = part if acc is None else acc + part
+    y = acc.astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
 def _conv3x3_lax(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None):
     """XLA-native 3x3 SAME conv (same contract as conv3x3_mm)."""
     y = jax.lax.conv_general_dilated(
@@ -105,6 +142,11 @@ class Conv3x3(nn.Module):
         if use_mm is None:
             import os
 
+            env_taps = os.environ.get("SEI_CONV_TAPS")
+            if env_taps is not None and env_taps not in ("0", "false", ""):
+                if x.shape[1] * x.shape[2] <= _MM_MAX_PIXELS:
+                    return conv3x3_taps(x, w, b)
+                return _conv3x3_lax(x, w, b)
             env = os.environ.get("SEI_CONV_MM")
             if env is not None:
                 use_mm = env not in ("0", "false", "")

@@ -68,3 +68,51 @@ def test_swinir_forward_same_with_mm_convs(monkeypatch):
     monkeypatch.setenv("SEI_CONV_MM", "1")
     y1 = model.apply(params, x, True)
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,cout", [((2, 8, 8, 5), 7), ((1, 12, 9, 16), 16)])
+def test_conv3x3_taps_matches_lax(shape, cout):
+    from sei_tpu.ops.conv_mm import conv3x3_taps
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, shape[-1], cout)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cout,)), jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_taps(x, w, b)),
+        np.asarray(_conv3x3_lax(x, w, b)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_conv3x3_taps_grads_match_lax():
+    from sei_tpu.ops.conv_mm import conv3x3_taps
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2, 6, 6, 5)), jnp.float32)
+
+    def loss(fn, x, w, b):
+        return jnp.sum(fn(x, w, b) * cot)
+
+    g_t = jax.grad(lambda *a: loss(conv3x3_taps, *a), argnums=(0, 1, 2))(x, w, b)
+    g_l = jax.grad(lambda *a: loss(_conv3x3_lax, *a), argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(g_t, g_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_module_taps_env(monkeypatch):
+    monkeypatch.setenv("SEI_CONV_TAPS", "1")
+    monkeypatch.delenv("SEI_CONV_MM", raising=False)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 6)), jnp.float32)
+    m = Conv3x3(features=9)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    w = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_conv3x3_lax(x, w, b)), rtol=1e-5, atol=1e-5
+    )
