@@ -82,12 +82,10 @@ _SMALL_CONV = {"scales": 3, "hidden_channels": 8, "num_conv_blocks": 1}
 def test_convolutional_model_shapes():
     m = get_model(kind="Proposed", architecture="Convolutional", task="deblurring",
                   init_input_size=16, conv_blueprint=_SMALL_CONV)
-    y = jnp.ones((2, 3, 16, 16)) * 0.5
-    out = m(y)
-    assert out.shape == (2, 3, 16, 16)
-    # non multiple of 2^(scales-1)=4: exercises reflect pad path
-    y = jnp.ones((1, 3, 18, 14)) * 0.5
-    assert m(y).shape == (1, 3, 18, 14)
+    # non multiple of 2^(scales-1)=4: exercises the reflect pad path (and,
+    # as one apply, batch>1 + shape preservation - one compile, not two)
+    y = jnp.ones((2, 3, 18, 14)) * 0.5
+    assert m(y).shape == (2, 3, 18, 14)
 
 
 def test_convolutional_sr():

@@ -109,6 +109,9 @@ def test_kernel_matches_reference(setup):
 
 def test_kernel_grads_match_reference(setup):
     x, params, rpb, mask, dpm, flax_apply = setup
+    # one image: halves the interpret-mode grid walk; multi-image coverage
+    # lives in test_kernel_multi_image_groups
+    x, dpm = x[:1], dpm[:, :, :1]
     tgt = jax.random.normal(jax.random.PRNGKey(2), x.shape, jnp.float32)
 
     def loss_k(x, params, rpb):
@@ -137,6 +140,7 @@ def test_kernel_bf16_full_saves_mode(setup):
     backward consumes bf16-stored p/gelu' where the reference recomputes
     them in f32 - perturbations at bf16 resolution)."""
     x, params, rpb, mask, dpm, _ = setup
+    x, dpm = x[:1], dpm[:, :, :1]  # one image (see grads test note)
     xb = x.astype(jnp.bfloat16)
     got = swin_trunk(xb, params, rpb, mask, dpm, num_heads=NH,
                      window_size=WS, use_pallas=True, interpret=True)
@@ -214,7 +218,7 @@ def test_kernel_multi_lane_tile_heads():
     per-tile packed-attention path; verify kernel==reference==flax with
     C=160, nh=2 (hd=80 -> greedy tiling puts each head in its own tile),
     including grads."""
-    c, nh, d, b, h = 160, 2, 2, 2, 8
+    c, nh, d, b, h = 160, 2, 2, 1, 8
     ws = 4
 
     from sei_tpu.ops.swin_trunk import _head_tiling
@@ -326,6 +330,7 @@ class TestModelIntegration:
 
     def test_grads_match(self):
         unfused, fused, params, x = self._models()
+        x = x[:1]  # one image: halves the interpret-mode grid walk
         tgt = jax.random.uniform(jax.random.PRNGKey(2), x.shape)
 
         def loss(model):
@@ -370,13 +375,13 @@ def test_fused_trunk_under_mesh_interpret(monkeypatch):
     monkeypatch.setenv("SEI_TRUNK_INTERPRET", "1")
     mesh = make_mesh()
     assert mesh.devices.size == 8
-    cfg = dict(img_size=16, embed_dim=16, depths=(2,), num_heads=(2,),
+    cfg = dict(img_size=8, embed_dim=16, depths=(2,), num_heads=(2,),
                window_size=4, mlp_ratio=2.0, drop_path_rate=0.0,
                upsampler=None)
     fused = SwinIR(fused_trunk=True, **cfg)
     unfused = SwinIR(fused_trunk=False, **cfg)
-    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 3, 16, 16))
-    tgt = jax.random.uniform(jax.random.PRNGKey(2), (8, 3, 16, 16))
+    x = jax.random.uniform(jax.random.PRNGKey(0), (8, 3, 8, 8))
+    tgt = jax.random.uniform(jax.random.PRNGKey(2), (8, 3, 8, 8))
     params = unfused.init(jax.random.PRNGKey(1), x, True)["params"]
 
     params_r = replicate(mesh, params)
