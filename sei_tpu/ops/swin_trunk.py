@@ -99,12 +99,20 @@ def _pick_group(b: int, h: int, w: int, c: int, itemsize: int,
     inside the 128 MB physical VMEM.  The backward kernel carries ~2x the
     scratch of the forward (3 f32 row buffers + 3 token buffers), so it
     gets a smaller budget.  Overridable via SEI_TRUNK_G / SEI_TRUNK_G_BWD.
+
+    VMEM buffers are (8, 128)-tiled, so the LANE-PADDED channel count is
+    what actually occupies memory: a c=16 trunk costs as much per lane-tile
+    as c=128 (measured: a c=16/f32 config sized with raw c picked g=8 and
+    asked Mosaic for 123 MB).  The budgets are calibrated against padded
+    sizes so the flagship (c=180 -> 256 lanes) picks the measured-optimal
+    groups: bf16+saves g=1, bf16 save-free fwd g=2 / bwd g=1, f32 g=1.
     """
     env = _env_int(env_name, 0)
     # cdt + f32 activation buffers, plus the fwd-saved residual blocks
     # resident per grid step: gelu/gelu' (2 x ch ~= 2c), softmax probs
     # (nh*N*N per window ~= 2c rows) and tfull (~1.4c)
-    per_image = h * w * c * (12 * itemsize + 4 * 4)
+    c_pad = -(-c // 128) * 128
+    per_image = h * w * c_pad * (12 * itemsize + 4 * 4)
     g = 1
     for cand in range(1, b + 1):
         if b % cand == 0 and cand * per_image <= budget_mb * 1024 * 1024:
@@ -1259,11 +1267,11 @@ def swin_trunk(
         # fwd-with-saves / bwd carry ~2x-buffered save blocks: at 48px bf16
         # per-image ~16.6 MB -> G=1 (G=2 overflows the Mosaic allocator,
         # measured r3w); the save-free primal keeps the old roomier budget.
-        _pick_group(b, h, w, c, x.dtype.itemsize, 16 if saves_on else 36,
+        _pick_group(b, h, w, c, x.dtype.itemsize, 23 if saves_on else 52,
                     "SEI_TRUNK_G"),
-        _pick_group(b, h, w, c, x.dtype.itemsize, 16 if saves_on else 20,
+        _pick_group(b, h, w, c, x.dtype.itemsize, 23 if saves_on else 29,
                     "SEI_TRUNK_G_BWD"),
-        _pick_group(b, h, w, c, x.dtype.itemsize, 36, "SEI_TRUNK_G_EVAL"),
+        _pick_group(b, h, w, c, x.dtype.itemsize, 52, "SEI_TRUNK_G_EVAL"),
         saves_on,
     )
     # tile-aligned head packing (exact 0/1 matmuls OUTSIDE the custom_vjp,

@@ -416,3 +416,23 @@ def test_fused_trunk_under_mesh_interpret(monkeypatch):
         assert np.isfinite(np.asarray(g16, np.float32)).all()
     # the loss really was computed from sharded inputs over 8 devices
     assert len(x_s.sharding.device_set) == 8
+
+
+def test_pick_group_uses_lane_padded_channels():
+    """VMEM group sizing must budget the (8,128)-tiled padded channel count.
+
+    Regression: a c=16 f32 config sized with raw c picked g=8 and asked
+    Mosaic for 123 MB (limit 112 MB).  The flagship picks (calibrated on
+    v5e) must stay exactly as measured: bf16+saves g=1, bf16 save-free
+    fwd g=2 / bwd g=1, f32 fwd g=1.
+    """
+    from sei_tpu.ops.swin_trunk import _pick_group
+
+    # flagship: c=180 -> 256 padded lanes, 48px, batch 8
+    assert _pick_group(8, 48, 48, 180, 2, 23, "SEI_TRUNK_G") == 1   # bf16+saves
+    assert _pick_group(8, 48, 48, 180, 2, 52, "SEI_TRUNK_G") == 2   # bf16 fwd
+    assert _pick_group(8, 48, 48, 180, 2, 29, "SEI_TRUNK_G_BWD") == 1
+    assert _pick_group(8, 48, 48, 180, 4, 52, "SEI_TRUNK_G") == 1   # f32 fwd
+    # tiny-channel config: c=16 still occupies full 128-lane tiles; the
+    # group must stay small (the raw-c formula chose the whole batch, g=8)
+    assert _pick_group(8, 48, 48, 16, 4, 52, "SEI_TRUNK_G") <= 2
