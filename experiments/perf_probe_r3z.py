@@ -44,26 +44,28 @@ def conv_taps(x, w, b):
     """3x3 SAME conv as 9 shifted dot_generals (no patch tensor)."""
     B, H, W, C = x.shape
     co = w.shape[3]
+    # NOTE: no preferred_element_type - the VJP's cotangent would then be
+    # f32 against bf16 weights, which conv/dot transpose rejects.  bf16
+    # inputs accumulate in f32 on the MXU anyway, matching nn.Conv's
+    # dtype=bf16 behavior in the model.
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    out = jnp.zeros((B, H, W, co), jnp.float32)
+    out = jnp.zeros((B, H, W, co), x.dtype)
     for dy in range(3):
         for dx in range(3):
             xs = jax.lax.dynamic_slice(xp, (0, dy, dx, 0), (B, H, W, C))
             out = out + jax.lax.dot_general(
                 xs, w[dy, dx],
                 (((3,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
             )
-    return (out + b.astype(jnp.float32)).astype(x.dtype)
+    return out + b
 
 
 def conv_native(x, w, b):
     y = jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
-    return (y + b.astype(jnp.float32)).astype(x.dtype)
+    return y + b
 
 
 def main():
