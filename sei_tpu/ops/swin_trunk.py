@@ -502,7 +502,7 @@ def _mlp_branch_fwd(x2, pd, dims: TrunkDims, tch: int = None, scratch=None,
     gelu'(h) so the backward skips the fc1 recompute and the erf chains.
     """
     if tch is None:
-        tch = _env_int("SEI_TRUNK_TCH", 768)
+        tch = _env_int("SEI_TRUNK_TCH", 4608)
     cdt = x2.dtype
     g = x2.shape[0]
     c = dims.c
@@ -596,7 +596,7 @@ def _block_bwd_image(dout, x, x2, pd, rpb_d, mask, dpm_attn, dpm_mlp,
     if wch is None:
         wch = _env_int("SEI_TRUNK_WCH", 12)
     if tch is None:
-        tch = _env_int("SEI_TRUNK_TCH", 768)
+        tch = _env_int("SEI_TRUNK_TCH", 4608)
     _prof_skip = _prof_skip_set()
     cdt = x.dtype
     g = x.shape[0]
