@@ -205,11 +205,14 @@ def main():
         report(f"grad {method}", bench_leg(mk_gm, y0, offset=OFF + 8e4))
 
     # --- [5] EI-branch ops alone: grad through A(T(x)) ---
-    from sei_tpu.ops.scaling import scaling_transform
+    from sei_tpu.ops.scaling import padded_scaling_transform
 
     def mk_ei_ops():
         def lf(x):
-            tx = scaling_transform(x, jax.random.PRNGKey(3))
+            b = x.shape[0]
+            rates = jnp.full((b,), 0.75, jnp.float32)
+            centers = jnp.zeros((b, 2), jnp.float32)
+            tx = padded_scaling_transform(x, rates, centers)
             return jnp.mean(physics.A(tx) ** 2)
 
         def f(x, t):
