@@ -103,6 +103,39 @@ def conv3x3_taps(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None
     return y
 
 
+@jax.custom_vjp
+def _conv3x3_hybrid_core(x: jnp.ndarray, w: jnp.ndarray):
+    return conv3x3_taps(x, w, None)
+
+
+def _hybrid_fwd(x, w):
+    return conv3x3_taps(x, w, None), (x, w)
+
+
+def _hybrid_bwd(res, dy):
+    # Transpose through XLA's NATIVE conv lowerings (conv-with-flipped-
+    # kernel for dX, conv_backprop_filter for dW) via linear_transpose —
+    # no forward recompute.  Measured on v5e (perf_probe_r3z): the 9-tap
+    # forward beats native (2.03 vs 2.93 ms for the 7-conv chain) but its
+    # autodiff backward loses (3.76 vs 3.27 grad total); this pairs the
+    # winner of each direction.
+    x, w = res
+    dx = jax.linear_transpose(lambda xx: _conv3x3_lax(xx, w, None), x)(dy)[0]
+    dw = jax.linear_transpose(lambda ww: _conv3x3_lax(x, ww, None), w)(dy)[0]
+    return dx, dw
+
+
+_conv3x3_hybrid_core.defvjp(_hybrid_fwd, _hybrid_bwd)
+
+
+def conv3x3_hybrid(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None):
+    """3x3 SAME conv: 9-tap shift-matmul forward, native-conv backward."""
+    y = _conv3x3_hybrid_core(x, w)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
 def _conv3x3_lax(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None):
     """XLA-native 3x3 SAME conv (same contract as conv3x3_mm)."""
     y = jax.lax.conv_general_dilated(
@@ -142,6 +175,11 @@ class Conv3x3(nn.Module):
         if use_mm is None:
             import os
 
+            env_hybrid = os.environ.get("SEI_CONV_HYBRID")
+            if env_hybrid is not None and env_hybrid not in ("0", "false", ""):
+                if x.shape[1] * x.shape[2] <= _MM_MAX_PIXELS:
+                    return conv3x3_hybrid(x, w, b)
+                return _conv3x3_lax(x, w, b)
             env_taps = os.environ.get("SEI_CONV_TAPS")
             if env_taps is not None and env_taps not in ("0", "false", ""):
                 if x.shape[1] * x.shape[2] <= _MM_MAX_PIXELS:

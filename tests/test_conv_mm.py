@@ -116,3 +116,62 @@ def test_conv3x3_module_taps_env(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y), np.asarray(_conv3x3_lax(x, w, b)), rtol=1e-5, atol=1e-5
     )
+
+
+def test_conv3x3_hybrid_matches_lax_fwd_and_grads():
+    """Hybrid lowering (taps fwd + native-transpose bwd) == native conv."""
+    from sei_tpu.ops.conv_mm import conv3x3_hybrid
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, 4)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 4, 5)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((5,)), jnp.float32)
+    cot = jnp.asarray(rng.standard_normal((2, 6, 6, 5)), jnp.float32)
+
+    np.testing.assert_allclose(
+        np.asarray(conv3x3_hybrid(x, w, b)),
+        np.asarray(_conv3x3_lax(x, w, b)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    def loss(fn, x, w, b):
+        return jnp.sum(fn(x, w, b) * cot)
+
+    g_h = jax.grad(lambda *a: loss(conv3x3_hybrid, *a), argnums=(0, 1, 2))(x, w, b)
+    g_l = jax.grad(lambda *a: loss(_conv3x3_lax, *a), argnums=(0, 1, 2))(x, w, b)
+    for a, e in zip(g_h, g_l):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), rtol=1e-5, atol=1e-5)
+
+
+def test_conv3x3_hybrid_bf16_params_f32():
+    """bf16 activations with f32 params: grads flow back as f32 leaves."""
+    from sei_tpu.ops.conv_mm import conv3x3_hybrid
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, 3)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 4)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((4,)), jnp.float32)
+
+    def loss(fn, w):
+        return jnp.sum(fn(x, w.astype(x.dtype), b).astype(jnp.float32) ** 2)
+
+    g_h = jax.grad(lambda w: loss(conv3x3_hybrid, w))(w)
+    g_l = jax.grad(lambda w: loss(_conv3x3_lax, w))(w)
+    assert g_h.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_l), rtol=2e-2, atol=2e-2)
+
+
+def test_conv3x3_module_hybrid_env(monkeypatch):
+    monkeypatch.setenv("SEI_CONV_HYBRID", "1")
+    monkeypatch.delenv("SEI_CONV_TAPS", raising=False)
+    monkeypatch.delenv("SEI_CONV_MM", raising=False)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 6)), jnp.float32)
+    m = Conv3x3(features=9)
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    w = params["params"]["kernel"]
+    b = params["params"]["bias"]
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(_conv3x3_lax(x, w, b)), rtol=1e-5, atol=1e-5
+    )
