@@ -124,7 +124,21 @@ class Model:
         return self.module.apply({"params": params}, y, rngs=rngs, **kwargs)
 
     def __call__(self, y, *, train: bool = False, rng=None):
-        return self.apply_fn(self.params, y, train=train, rng=rng)
+        # Convenience path (tests, baselines; the train step and the eval
+        # CLI build their own jits over apply_fn).  Eager flax apply
+        # dispatches hundreds of tiny op-compiles on CPU, so jit lazily,
+        # cached per (train, has-rng) signature; shapes recompile as usual.
+        key = (bool(train), rng is not None)
+        cache = self.__dict__.setdefault("_jit_cache", {})
+        fn = cache.get(key)
+        if fn is None:
+            if key[1]:
+                fn = jax.jit(lambda p, yy, r: self.apply_fn(p, yy, train=key[0], rng=r))
+            else:
+                g = jax.jit(lambda p, yy: self.apply_fn(p, yy, train=key[0]))
+                fn = lambda p, yy, r: g(p, yy)
+            cache[key] = fn
+        return fn(self.params, y, rng)
 
     # -- weight I/O (torch-interoperable) -----------------------------------
     def get_weights(self):
@@ -233,7 +247,9 @@ def get_model(
             raise ValueError(f"Unknown model kind: {architecture}")
         rng = jax.random.PRNGKey(0) if rng is None else rng
         dummy = jnp.zeros((1, 3, init_input_size, init_input_size), dtype)
-        params = module.init(rng, dummy)["params"]
+        # jit: eager flax init dispatches each initializer as its own tiny
+        # CPU compile; one jitted graph is ~10x faster and cache-persistable.
+        params = jax.jit(module.init)(rng, dummy)["params"]
         return Model(module=module, params=params, kind=kind, architecture=architecture)
 
     if kind == "Identity":
