@@ -21,9 +21,18 @@ from sei_tpu.physics import get_physics
 
 def main():
     parser = DefaultArgParser()
-    parser.add_argument("--in_dir", type=str, required=True)
-    parser.add_argument("--out_dir", type=str, required=True)
+    # The reference takes positional image_dir/out_dir
+    # (ref demo/generate_dataset.py:22-23); accept both spellings.
+    parser.add_argument("image_dir", type=str, nargs="?", default=None)
+    parser.add_argument("out_dir_pos", type=str, nargs="?", default=None,
+                        metavar="out_dir")
+    parser.add_argument("--in_dir", type=str, default=None)
+    parser.add_argument("--out_dir", type=str, default=None)
     args = parser.parse_args()
+    args.in_dir = args.in_dir or args.image_dir
+    args.out_dir = args.out_dir or args.out_dir_pos
+    if not args.in_dir or not args.out_dir:
+        parser.error("need image_dir and out_dir (positional or --in_dir/--out_dir)")
 
     physics = get_physics(
         task=args.task,

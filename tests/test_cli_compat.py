@@ -103,3 +103,21 @@ def test_no_resize_mutex():
         ["--task", "deblurring", "--GroundTruthDataset__no_resize"]
     )
     assert args.GroundTruthDataset__size is None
+
+
+def test_generate_dataset_positional_args():
+    """The reference's generate_dataset CLI takes POSITIONAL image_dir/out_dir
+    (ref demo/generate_dataset.py:22-23); both that form and the flag form
+    must resolve to the same in_dir/out_dir."""
+    import demo.generate_dataset as gd
+
+    p = DefaultArgParser()
+    p.add_argument("image_dir", type=str, nargs="?", default=None)
+    p.add_argument("out_dir_pos", type=str, nargs="?", default=None)
+    p.add_argument("--in_dir", type=str, default=None)
+    p.add_argument("--out_dir", type=str, default=None)
+    a = p.parse_args(["--task", "deblurring", "in_pics", "out_pics"])
+    assert a.image_dir == "in_pics" and a.out_dir_pos == "out_pics"
+    a2 = p.parse_args(["--in_dir", "in_pics", "--out_dir", "out_pics"])
+    assert a2.in_dir == "in_pics" and a2.out_dir == "out_pics"
+    assert gd is not None  # module imports cleanly
