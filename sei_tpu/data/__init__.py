@@ -61,6 +61,15 @@ class GroundTruthDataset:
         name = dataset_name.lower()
         if name == "single_image":
             self.source = SingleImageDataset(**(single_image_blueprint or {}))
+        elif name.startswith("gt_folder:"):
+            # Extension over the reference: a directory of PNGs used as a
+            # GROUND-TRUTH dataset (synthetic degradation + full metrics),
+            # unlike the reference's predictor-only directory mode
+            # (ref demo/test.py:64-80).  unique_id = sorted index, so
+            # deterministic per-image measurement seeds work the same way;
+            # train and val both see all images (self-supervised adaptation,
+            # the generalization of the reference's single_image mode).
+            self.source = FolderDataset(dataset_name.split(":", 1)[1])
         elif name in _REGISTRY:
             self.source = _REGISTRY[name](split, datasets_dir, download=download)
         else:

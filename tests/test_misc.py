@@ -48,6 +48,24 @@ def test_lpips_with_synthetic_weights(tmp_path):
     assert m(a, b) > 0.0
 
 
+def test_gt_folder_dataset(tmp_path):
+    """gt_folder:<dir> treats a directory of PNGs as a ground-truth dataset
+    (synthesis + metrics) — extension over the reference's predictor-only
+    directory mode (ref demo/test.py:64-80)."""
+    rng = np.random.default_rng(1)
+    for name in ("b.png", "a.png"):
+        write_image(str(tmp_path / name), rng.random((3, 48, 40)).astype(np.float32))
+    gt = GroundTruthDataset(dataset_name=f"gt_folder:{tmp_path}", size=32)
+    assert len(gt) == 2
+    # sorted order => deterministic per-image unique ids
+    assert [gt.unique_id(i) for i in range(2)] == [0, 1]
+    x = gt[0]
+    assert x.shape[0] == 3 and min(x.shape[-2:]) == 32  # shorter-side resize
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = build_device_cache(gt, phys, base_key=jax.random.PRNGKey(0))
+    assert cache.x.shape[0] == 2 and np.isfinite(np.asarray(cache.y)).all()
+
+
 def test_homogeneous_sr_cache_upsamples_y(img_path):
     phys = get_physics(task="sr", sr_factor=2, noise_level=5)
     gt = GroundTruthDataset(
