@@ -144,20 +144,16 @@ def test_proposed_loss_stop_gradient_blocks_transform_branch():
     def model_of(w):
         return lambda t: w * t
 
-    for stop in (True, False):
-        loss = get_loss(
-            method="proposed", physics=phys, stop_gradient=stop,
-            crop_training_pairs=False,
-        )
-        g = jax.grad(lambda w: loss(key, x, y, model_of(w)))(w0)
-        assert np.isfinite(float(g))
-    # distinct gradients prove the branch participates when not stopped
+    # jitted so the persistent compile cache absorbs the op-by-op dispatch
+    # cost on the 1-core box (VERDICT item 8)
     loss_t = get_loss(method="proposed", physics=phys, stop_gradient=True,
                       crop_training_pairs=False)
     loss_f = get_loss(method="proposed", physics=phys, stop_gradient=False,
                       crop_training_pairs=False)
-    gt = float(jax.grad(lambda w: loss_t(key, x, y, model_of(w)))(w0))
-    gf = float(jax.grad(lambda w: loss_f(key, x, y, model_of(w)))(w0))
+    gt = float(jax.jit(jax.grad(lambda w: loss_t(key, x, y, model_of(w))))(w0))
+    gf = float(jax.jit(jax.grad(lambda w: loss_f(key, x, y, model_of(w))))(w0))
+    assert np.isfinite(gt) and np.isfinite(gf)
+    # distinct gradients prove the branch participates when not stopped
     assert gt != gf
 
 

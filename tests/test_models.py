@@ -41,8 +41,12 @@ def test_swinir_nonwindow_multiple_input(swinir_deblur):
 
 
 def test_swinir_sr_pixelshuffle_shape():
+    # shape contract of the pixelshuffle head — a small config exercises the
+    # same head code in a fraction of the flagship's compile time
     m = get_model(kind="Proposed", architecture="Transformer", task="sr",
-                  sr_factor=2, init_input_size=16)
+                  sr_factor=2, init_input_size=16,
+                  swinir_overrides={"embed_dim": 24, "depths": (2, 2),
+                                    "num_heads": (2, 2)})
     y = jnp.ones((1, 3, 16, 16)) * 0.5
     out = m(y)
     assert out.shape == (1, 3, 32, 32)
@@ -64,13 +68,19 @@ def test_swinir_torch_roundtrip(swinir_deblur):
 def test_swinir_load_torch_statedict(swinir_deblur):
     sd = flax_swinir_to_torch(swinir_deblur.params)
     sd = {k: v + 1.0 for k, v in sd.items()}
-    m = get_model(kind="Proposed", architecture="Transformer", task="deblurring",
-                  init_input_size=16)
-    m.load_weights(sd)
-    a = jax.tree_util.tree_leaves(m.params)
-    b = jax.tree_util.tree_leaves(swinir_deblur.params)
-    for x, y in zip(a, b):
-        np.testing.assert_allclose(np.asarray(x), np.asarray(y) + 1.0, atol=1e-6)
+    # reuse the module fixture instead of initializing a second flagship
+    # model (saves ~12 s); params are restored for later fixture users
+    orig = swinir_deblur.params
+    try:
+        swinir_deblur.load_weights(sd)
+        a = jax.tree_util.tree_leaves(swinir_deblur.params)
+        b = jax.tree_util.tree_leaves(orig)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y) + 1.0, atol=1e-6
+            )
+    finally:
+        swinir_deblur.params = orig
 
 
 # small blueprint: the default 5-scale spectral UNet costs ~250s of CPU

@@ -124,8 +124,10 @@ def test_kernel_grads_match_reference(setup):
                             num_heads=NH, window_size=WS)
         return jnp.mean((y - tgt) ** 2)
 
-    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, params, rpb)
-    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, params, rpb)
+    # jitted: the reference path's op-by-op dispatch dominates wall time on
+    # the 1-core box; under jit it compiles once into the persistent cache
+    gk = jax.jit(jax.grad(loss_k, argnums=(0, 1, 2)))(x, params, rpb)
+    gr = jax.jit(jax.grad(loss_r, argnums=(0, 1, 2)))(x, params, rpb)
     for a, b in zip(jax.tree_util.tree_leaves(gk),
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
@@ -160,10 +162,10 @@ def test_kernel_bf16_full_saves_mode(setup):
             return jnp.mean((y.astype(jnp.float32) - tgt) ** 2)
         return f
 
-    gk = jax.grad(loss(lambda *a, **kw: swin_trunk(
-        *a, use_pallas=True, interpret=True, **kw)), argnums=(0, 1))(
+    gk = jax.jit(jax.grad(loss(lambda *a, **kw: swin_trunk(
+        *a, use_pallas=True, interpret=True, **kw)), argnums=(0, 1)))(
             params, rpb)
-    gr = jax.grad(loss(trunk_reference), argnums=(0, 1))(params, rpb)
+    gr = jax.jit(jax.grad(loss(trunk_reference), argnums=(0, 1)))(params, rpb)
     for a, b in zip(jax.tree_util.tree_leaves(gk),
                     jax.tree_util.tree_leaves(gr)):
         a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
@@ -286,8 +288,8 @@ def test_kernel_multi_lane_tile_heads():
                             num_heads=nh, window_size=ws)
         return jnp.mean((y - tgt) ** 2)
 
-    gk = jax.grad(loss_k)(params)
-    gr = jax.grad(loss_r)(params)
+    gk = jax.jit(jax.grad(loss_k))(params)
+    gr = jax.jit(jax.grad(loss_r))(params)
     for a, b_ in zip(jax.tree_util.tree_leaves(gk),
                      jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
