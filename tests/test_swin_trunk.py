@@ -339,7 +339,9 @@ class TestModelIntegration:
             def f(p):
                 y = model.apply({"params": p}, x, True)
                 return jnp.mean((y - tgt) ** 2)
-            return jax.grad(f)(params)
+            # jitted: compiles once into the persistent cache instead of
+            # paying op-by-op dispatch on the 1-core box
+            return jax.jit(jax.grad(f))(params)
 
         ga, gb = loss(unfused), loss(fused)
         for a, b in zip(jax.tree_util.tree_leaves(ga),
