@@ -13,7 +13,7 @@ we express them per-step with ``steps_per_epoch``.
 from __future__ import annotations
 
 
-
+import jax
 import optax
 
 
@@ -80,5 +80,12 @@ def get_optimizer(
     else:
         raise ValueError(f"Unknown optimizer: {kind}")
     if trainable_mask is not None:
-        tx = optax.chain(optax.masked(tx, trainable_mask))
+        # optax.masked applies ``tx`` only to True leaves but passes the
+        # False leaves' updates through UNCHANGED (i.e. the raw +gradient
+        # would be *added* to frozen params).  Zero the frozen leaves first.
+        frozen = jax.tree_util.tree_map(lambda b: not b, trainable_mask)
+        tx = optax.chain(
+            optax.masked(optax.set_to_zero(), frozen),
+            optax.masked(tx, trainable_mask),
+        )
     return tx

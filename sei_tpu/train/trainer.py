@@ -174,7 +174,11 @@ class Trainer:
         if self.trainable_mask is None and _env_flag("SEI_FLAT_OPT", True):
             self.tx = optax.flatten(self.tx)
         self._pretrained = (
-            jax.tree_util.tree_map(jnp.asarray, self.model.params)
+            # copy=True: the frozen reference must survive even if a donated
+            # step deletes the (possibly aliased) live-params buffers.
+            jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), self.model.params
+            )
             if self.weights_distance_lambda is not None
             else None
         )
@@ -182,13 +186,23 @@ class Trainer:
 
     # -- state --------------------------------------------------------------
     def init_state(self) -> TrainState:
+        params = self.model.params
+        if self.donate:
+            # The donated step deletes the state buffers after the first
+            # call.  device_put/asarray below may return zero-copy ALIASES of
+            # the caller's model.params (same device, same sharding), so the
+            # donation would delete arrays the caller still owns - e.g. a
+            # second Trainer built on the same model.  Copy once at init.
+            params = jax.tree_util.tree_map(
+                lambda x: jnp.array(x, copy=True), params
+            )
         if self.mesh.devices.size > 1:
-            params = replicate(self.mesh, self.model.params)
+            params = replicate(self.mesh, params)
         else:
             # Single device: do NOT commit a NamedSharding.  Semantically a
             # no-op, but the tunneled-TPU relay executes sharding-committed
             # programs ~85x slower (31.7s vs 0.37s per step, round-1 probe6).
-            params = jax.tree_util.tree_map(jnp.asarray, self.model.params)
+            params = jax.tree_util.tree_map(jnp.asarray, params)
         opt_state = self.tx.init(params)
         resumed = getattr(self, "_resume_opt_state", None)
         if resumed is not None:

@@ -294,3 +294,54 @@ def test_sample_batch_pads_small_images_to_crop(tiny_setup):
     assert x.shape == (2, 3, 96, 96) and y.shape == (2, 3, 96, 96)
     # bottom-right quadrant is the zero padding
     assert float(jnp.abs(x[..., 80:, 80:]).max()) == 0.0
+
+
+def test_finetuning_mask_freezes_all_but_conv_last(tiny_setup):
+    """The reference fine-tunes conv_last ONLY with SGD lr 1e-2 (ref
+    demo/train.py:176-188).  Regression: optax.masked passes the raw
+    +gradient through to unmasked leaves unless they are explicitly zeroed,
+    which silently gradient-ASCENDS every frozen param (found as an instant
+    NaN blow-up in the r3ae fine-tune run)."""
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Transformer", task="deblurring",
+        init_input_size=32,
+        swinir_overrides={
+            "embed_dim": 12, "depths": (2,), "num_heads": (2,),
+            "window_size": 4,
+        },
+    )
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: any(
+            getattr(p, "key", None) == "conv_last" for p in path
+        ),
+        model.params,
+    )
+    assert sum(jax.tree_util.tree_leaves(mask)) == 2  # kernel + bias
+    loss_fn = get_loss(
+        method="supervised", physics=physics, noise_level=5, crop_size=32
+    )
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=4, epochs=1, lr=1e-2, crop_size=64, out_dir=None,
+        optimizer="SGD", trainable_mask=mask,
+    )
+    state = trainer.init_state()
+    old_params = jax.device_get(state.params)  # before: the step donates state
+    new_state, loss = trainer._get_step(0)(state, cache, trainer.base_key)
+    assert np.isfinite(float(loss))
+    flat_old = jax.tree_util.tree_flatten_with_path(old_params)[0]
+    flat_new = dict(jax.tree_util.tree_flatten_with_path(
+        jax.device_get(new_state.params))[0])
+    changed = []
+    for path, old in flat_old:
+        new = flat_new[path]
+        is_conv_last = any(getattr(p, "key", None) == "conv_last" for p in path)
+        if is_conv_last:
+            changed.append(not np.array_equal(old, new))
+        else:
+            np.testing.assert_array_equal(
+                old, new, err_msg=f"frozen param changed: {jax.tree_util.keystr(path)}"
+            )
+    assert all(changed), "conv_last params did not update"
