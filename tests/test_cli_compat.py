@@ -6,6 +6,8 @@ Guards the alias layer (SURVEY.md section 2.5): README spellings
 work.
 """
 
+import os
+
 import pytest
 
 from sei_tpu.config import DefaultArgParser, add_test_args, add_train_args
@@ -121,3 +123,41 @@ def test_generate_dataset_positional_args():
     a2 = p.parse_args(["--in_dir", "in_pics", "--out_dir", "out_pics"])
     assert a2.in_dir == "in_pics" and a2.out_dir == "out_pics"
     assert gd is not None  # module imports cleanly
+
+
+def test_eval_cli_save_images_and_psf(tmp_path):
+    """demo/test.py --save_images writes the reference's three output trees
+    (ground_truth/ predictors/ estimates/, ref demo/test.py:161-176) and
+    --save_psf writes the normalized kernel (ref demo/test.py:86-98).
+    Driven end-to-end as a subprocess with model_kind Identity."""
+    import subprocess
+    import sys
+
+    import numpy as np
+
+    from sei_tpu.data import write_image
+
+    src = tmp_path / "gt"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        write_image(str(src / f"im{i}.png"),
+                    rng.random((3, 40, 40)).astype(np.float32))
+    out = tmp_path / "out"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "demo", "test.py"),
+         "--device", "cpu", "--task", "deblurring", "--kernel", "Gaussian_R1",
+         "--noise_level", "5", "--dataset", f"gt_folder:{src}",
+         "--model_kind", "Identity", "--save_images", "--save_psf",
+         "--out_dir", str(out)],
+        capture_output=True, text=True, timeout=420, env=env, cwd=repo,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PSNR:" in r.stdout
+    assert (out / "psf.png").is_file()
+    for tree in ("ground_truth", "predictors", "estimates"):
+        files = list((out / tree).glob("*.png"))
+        assert len(files) == 2, (tree, files, r.stdout)
