@@ -232,12 +232,39 @@ def main():
         n_dev = len(args.data_parallel_devices.split(","))
         mesh = make_mesh(jax.devices()[:n_dev])
 
+    # --eval_interval: in-training validation on the val split of the same
+    # dataset (mechanized operating-point selection; Trainer docstring).
+    eval_hook = None
+    if args.eval_interval and not os.path.isdir(args.dataset):
+        from sei_tpu.train.validate import ValidationHook
+
+        val_split = "all" if args.dataset.startswith("gt_folder:") else "val"
+        try:
+            val_gt = GroundTruthDataset(
+                dataset_name=args.dataset,
+                datasets_dir=args.GroundTruthDataset__datasets_dir,
+                split=val_split,
+                size=args.GroundTruthDataset__size,
+                memoize_gt=args.memoize_gt,
+                single_image_blueprint={
+                    "image_path": args.SingleImageDataset__image_path,
+                    "duplicates_count": 1,
+                },
+            )
+            eval_hook = ValidationHook(
+                val_gt, physics, model.apply_fn, max_images=args.eval_count
+            )
+        except (ValueError, AssertionError) as e:
+            print(f"eval_interval disabled (no val split): {e}")
+
     trainer = Trainer(
         model=model,
         loss_fn=loss_fn,
         physics=physics,
         cache=cache,
         mesh=mesh,
+        eval_interval=args.eval_interval if eval_hook is not None else 0,
+        eval_hook=eval_hook,
         batch_size=args.batch_size,
         epochs=epochs,
         lr=lr,

@@ -9,12 +9,13 @@ is bit-identical across VM re-provisions.
 Usage: python experiments/make_realphotos.py [out_dir=datasets/RealPhotos]
 """
 
-import sys
 import os
+import sys
+import sysconfig
 
 from PIL import Image
 
-SP = "/opt/venv/lib/python3.12/site-packages"
+SP = sysconfig.get_paths()["purelib"]
 SOURCES = {
     # portrait (matplotlib sample data)
     "0001.png": f"{SP}/matplotlib/mpl-data/sample_data/grace_hopper.jpg",

@@ -150,6 +150,14 @@ def add_train_args(parser: argparse.ArgumentParser):
                         help="bf16 compute dtype for the model (params stay f32)")
     parser.add_argument("--scan_steps", type=int, default=1,
                         help="train steps fused per device dispatch (lax.scan)")
+    parser.add_argument("--eval_interval", type=int, default=0,
+                        help="run the val-split eval protocol every N epochs "
+                             "during training, log validation.csv, and keep "
+                             "the best-PSNR state as checkpoints/ckp_best "
+                             "(mechanized operating-point selection); 0=off")
+    parser.add_argument("--eval_count", type=int, default=None,
+                        help="cap the number of val images per in-training "
+                             "eval (default: the whole val split)")
 
 
 def add_test_args(parser: argparse.ArgumentParser):

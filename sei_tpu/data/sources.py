@@ -205,12 +205,16 @@ class SingleImageDataset(ImageSource):
 
 
 class FolderDataset(ImageSource):
-    """A directory of PNGs (used for fine-tuning / directory eval)."""
+    """A directory of images (used for fine-tuning / directory eval)."""
+
+    EXTENSIONS = ("*.png", "*.jpg", "*.jpeg")
 
     def __init__(self, root: str):
-        self.paths = sorted(glob(os.path.join(root, "*.png")))
+        self.paths = sorted(
+            p for ext in self.EXTENSIONS for p in glob(os.path.join(root, ext))
+        )
         if not self.paths:
-            raise ValueError(f"no PNGs under {root}")
+            raise ValueError(f"no {'/'.join(self.EXTENSIONS)} images under {root}")
 
     def __len__(self):
         return len(self.paths)

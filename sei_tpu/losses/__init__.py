@@ -190,6 +190,15 @@ class LossConfig:
                     # EI term (deepinv EILoss semantics at the ref call site):
                     # x2 = T(x_net) (stop-grad optional); x3 = f(A(x2));
                     # + weight * mse(x3, x2).
+                    # Dispatch note: this branch CANNOT join the 2B forward
+                    # above — its input A(T(x_net)) depends on x_net's VALUE,
+                    # which that forward produces.  Folding all three into
+                    # one 3B dispatch would need an extra value-only f(y)
+                    # first (4 forwards instead of 3, ~+11 ms at b8 — a net
+                    # loss vs the ~2 ms of saved glue).  The 2B+1B structure
+                    # is the minimum-dispatch schedule for this objective;
+                    # the r2r variant has no such dependency between its
+                    # first two evals and IS fused (losses/r2r.py).
                     x2 = t_apply(k_t, x_net)
                     if self.stop_gradient:
                         x2 = jax.lax.stop_gradient(x2)

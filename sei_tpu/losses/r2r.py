@@ -44,7 +44,45 @@ def r2r_ei_loss(
     sigma: float,
     stop_gradient: bool = True,
 ) -> jnp.ndarray:
-    """R2R + EI with consistent input noise (ref R2REILoss, r2r.py:26-57)."""
+    """R2R + EI with consistent input noise (ref R2REILoss, r2r.py:26-57).
+
+    The R2R eval f(y + alpha*eta*pert) and the EI anchor f(y + 0.5 sigma e1)
+    are independent given y, so they run as ONE 2B-sized forward (bigger
+    MXU GEMMs, one trunk dispatch instead of two); only the EI branch
+    f(A(T(x1)) + e2) stays a separate dispatch because its input depends on
+    x1's value.  Numerically identical to the unfused form given the same
+    key (same draws; the model is per-image).
+    """
+    k_r2r, k1, k2, kt = jax.random.split(key, 4)
+    alpha = 0.5
+    pert = jax.random.normal(k_r2r, y.shape, y.dtype) * sigma
+    eps1 = 0.5 * sigma * jax.random.normal(k1, y.shape, y.dtype)
+
+    pair = model(jnp.concatenate([y + pert * alpha, y + eps1], axis=0))
+    x_r2r, x1 = jnp.split(pair, 2, axis=0)
+    loss = _mse(A(x_r2r), y - pert / alpha)
+
+    x2 = transform(kt, x1)
+    if stop_gradient:
+        x2 = jax.lax.stop_gradient(x2)
+    y2 = A(x2)
+    eps2 = 1.5 * sigma * jax.random.normal(k2, y2.shape, y2.dtype)
+    x3 = model(y2 + eps2)
+    return loss + _mse(x3, x2)
+
+
+def r2r_ei_loss_unfused(
+    key: jax.Array,
+    y: jnp.ndarray,
+    model: Callable,
+    A: Callable,
+    transform: Callable,
+    *,
+    sigma: float,
+    stop_gradient: bool = True,
+) -> jnp.ndarray:
+    """Reference form with three B-sized model calls (golden twin of
+    :func:`r2r_ei_loss`; kept for the fused==unfused equivalence test)."""
     k_r2r, k1, k2, kt = jax.random.split(key, 4)
     loss = r2r_loss(k_r2r, y, model, A, eta=sigma, alpha=0.5)
 

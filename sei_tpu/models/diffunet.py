@@ -273,6 +273,89 @@ def diffunet_config_from_state_dict(sd) -> DiffUNetConfig:
     )
 
 
+def flax_diffunet_to_torch(params: dict) -> dict:
+    """Inverse of :func:`torch_diffunet_to_flax`: emit the guided-diffusion
+    ``UNetModel`` state_dict layout (so locally trained stand-ins are stored
+    in the exact format the reference's published ``diffusion_ffhq_10m.pt``
+    uses, and :func:`diffunet_config_from_state_dict` re-infers the config).
+    """
+    import jax
+
+    res_leaf_inv = {
+        "in_norm": ("norm", "in_layers.0"),
+        "in_conv": ("conv", "in_layers.2"),
+        "emb": ("dense", "emb_layers.1"),
+        "out_norm": ("norm", "out_layers.0"),
+        "out_conv": ("conv", "out_layers.3"),
+        "skip_connection": ("conv", "skip_connection"),
+    }
+
+    def conv_w(v):
+        return np.asarray(v).transpose(3, 2, 0, 1)
+
+    def dense_w(v, conv1d):
+        v = np.asarray(v).T
+        return v[:, :, None] if conv1d else v
+
+    out: dict = {}
+    modules = sorted(params.keys())
+    has_attn = {m for m in modules if m.endswith("_attn")}
+
+    for mod in modules:
+        leaves = params[mod]
+        if mod in ("time_embed_0", "time_embed_2"):
+            t = f"time_embed.{mod[-1]}"
+            out[f"{t}.weight"] = dense_w(leaves["kernel"], conv1d=False)
+            out[f"{t}.bias"] = np.asarray(leaves["bias"])
+        elif mod == "input_blocks_0_conv":
+            out["input_blocks.0.0.weight"] = conv_w(leaves["kernel"])
+            out["input_blocks.0.0.bias"] = np.asarray(leaves["bias"])
+        elif mod == "out_norm":
+            out["out.0.weight"] = np.asarray(leaves["scale"])
+            out["out.0.bias"] = np.asarray(leaves["bias"])
+        elif mod == "out_conv":
+            out["out.2.weight"] = conv_w(leaves["kernel"])
+            out["out.2.bias"] = np.asarray(leaves["bias"])
+        elif m := re.match(r"input_blocks_(\d+)_down$", mod):
+            t = f"input_blocks.{m.group(1)}.0.op"
+            out[f"{t}.weight"] = conv_w(leaves["kernel"])
+            out[f"{t}.bias"] = np.asarray(leaves["bias"])
+        elif m := re.match(r"output_blocks_(\d+)_up$", mod):
+            # Upsample sits after the resblock (+ attention when present)
+            bi = m.group(1)
+            sub = 2 if f"output_blocks_{bi}_1_attn" in has_attn else 1
+            t = f"output_blocks.{bi}.{sub}.conv"
+            out[f"{t}.weight"] = conv_w(leaves["kernel"])
+            out[f"{t}.bias"] = np.asarray(leaves["bias"])
+        elif m := re.match(r"((input|output)_blocks_(\d+)_(\d+)|middle_block_(\d+))_(res|attn)$", mod):
+            if m.group(5) is not None:  # middle_block_{sub}
+                base = f"middle_block.{m.group(5)}"
+            else:
+                base = f"{m.group(2)}_blocks.{m.group(3)}.{m.group(4)}"
+            if m.group(6) == "res":
+                for leaf, sub in leaves.items():
+                    kind, tleaf = res_leaf_inv[leaf]
+                    t = f"{base}.{tleaf}"
+                    if kind == "conv":
+                        out[f"{t}.weight"] = conv_w(sub["kernel"])
+                    elif kind == "dense":
+                        out[f"{t}.weight"] = dense_w(sub["kernel"], conv1d=False)
+                    else:
+                        out[f"{t}.weight"] = np.asarray(sub["scale"])
+                    out[f"{t}.bias"] = np.asarray(sub["bias"])
+            else:  # attention: norm + qkv/proj_out as Conv1d
+                out[f"{base}.norm.weight"] = np.asarray(leaves["norm"]["scale"])
+                out[f"{base}.norm.bias"] = np.asarray(leaves["norm"]["bias"])
+                for name in ("qkv", "proj_out"):
+                    out[f"{base}.{name}.weight"] = dense_w(
+                        leaves[name]["kernel"], conv1d=True
+                    )
+                    out[f"{base}.{name}.bias"] = np.asarray(leaves[name]["bias"])
+        else:
+            raise ValueError(f"unmapped flax module: {mod}")
+    return jax.tree_util.tree_map(lambda v: np.asarray(v, np.float32), out)
+
+
 def torch_diffunet_to_flax(sd) -> dict:
     """Convert a guided-diffusion UNetModel state_dict to the flax tree."""
     params: dict = {}

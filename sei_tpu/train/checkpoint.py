@@ -53,10 +53,14 @@ class CheckpointManager:
 
 
 def latest_checkpoint(directory: str) -> Optional[str]:
+    """Newest NUMBERED checkpoint (ckp_best is a validation-selected
+    snapshot, not the resume point)."""
     if not os.path.isdir(directory):
         return None
     entries = sorted(
-        e for e in os.listdir(directory) if e.startswith("ckp_")
+        e
+        for e in os.listdir(directory)
+        if e.startswith("ckp_") and e[4:].isdigit()
     )
     return os.path.join(directory, entries[-1]) if entries else None
 

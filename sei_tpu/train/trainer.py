@@ -44,6 +44,52 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def flat_param_fns(params):
+    """(ravel, unravel) for flat-state training with a cheap transpose.
+
+    ``jax.flatten_util.ravel_pytree``'s unravel transposes to ~one
+    dynamic-update-slice kernel PER LEAF (490 tiny kernels on the SwinIR
+    tree, ~1.7 ms/step on v5e); this unravel carries a custom VJP whose
+    backward is ONE ``jnp.concatenate`` over the raveled cotangent leaves —
+    numerically identical (same tree_flatten order as ravel_pytree, all
+    leaves one dtype), one fused kernel.
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+    shapes = [jnp.shape(l) for l in leaves]
+    sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+    dtype = jnp.result_type(*leaves)
+    assert all(jnp.asarray(l).dtype == dtype for l in leaves), (
+        "flat-state requires a single param dtype"
+    )
+    offsets = np.concatenate([[0], np.cumsum(sizes)]).astype(np.int64)
+
+    def ravel(tree):
+        ls = jax.tree_util.tree_leaves(tree)
+        return jnp.concatenate([jnp.ravel(l) for l in ls])
+
+    @jax.custom_vjp
+    def unravel(vec):
+        return _unravel_impl(vec)
+
+    def _unravel_impl(vec):
+        outs = [
+            jax.lax.slice(vec, (int(offsets[i]),), (int(offsets[i + 1]),)).reshape(
+                shapes[i]
+            )
+            for i in range(len(leaves))
+        ]
+        return jax.tree_util.tree_unflatten(treedef, outs)
+
+    def _fwd(vec):
+        return _unravel_impl(vec), None
+
+    def _bwd(_, ct_tree):
+        return (ravel(ct_tree),)
+
+    unravel.defvjp(_fwd, _bwd)
+    return ravel, unravel
+
+
 def _env_flag(name: str, default: bool) -> bool:
     v = os.environ.get(name)
     if v is None:
@@ -124,6 +170,13 @@ class Trainer:
     # amortizes host->device dispatch latency (~3-5ms on the relay, less but
     # nonzero on direct-attached chips); losses are returned per inner step.
     scan_steps: int = 1
+    # Mechanized operating-point selection: every eval_interval epochs run
+    # eval_hook(params_tree) -> (psnr, ssim), append to validation.csv, and
+    # checkpoint the best-PSNR state as ckp_best (the reference selects its
+    # operating checkpoint by validation; on drifting synthetic-data runs
+    # this replaces the post-hoc queue evals).  0 = off.
+    eval_interval: int = 0
+    eval_hook: Optional[Callable] = None
 
     def __post_init__(self):
         if self.mesh is None:
@@ -166,12 +219,21 @@ class Trainer:
             self.tx = _optax.chain(
                 _optax.clip_by_global_norm(float(clip)), self.tx
             )
-        # Fuse the optimizer update over one raveled vector: Adam on the
-        # ~300-leaf SwinIR tree costs 17.7 ms/step on the v5e (per-leaf
-        # kernel overhead dominates the O(100 MB) of actual moment traffic)
-        # vs 9.7 ms flattened (experiments/perf_probe_r3h.py).  Masked
-        # fine-tuning needs the tree structure, so it keeps the tree form.
-        if self.trainable_mask is None and _env_flag("SEI_FLAT_OPT", True):
+        # Flat-state training: params live as ONE raveled f32 vector between
+        # steps, the gradient is taken w.r.t. that vector (the model tree is
+        # rebuilt by unravel inside the traced step), and the Adam update is
+        # a pure elementwise vector op.  perf_probe_r4a on the real 490-leaf
+        # SwinIR tree: tree-form Adam 7.3 ms/update, optax.flatten 2.1 ms
+        # (re-ravels grads every step), flat-state 0.035 ms.  Numerically
+        # identical (Adam is elementwise).  Masked fine-tuning needs the
+        # tree structure, so it keeps the tree form (SEI_FLAT_OPT fallback).
+        self.flat_state = self.trainable_mask is None and _env_flag(
+            "SEI_FLAT_STATE", True
+        )
+        self._unravel = None
+        if not self.flat_state and self.trainable_mask is None and _env_flag(
+            "SEI_FLAT_OPT", True
+        ):
             self.tx = optax.flatten(self.tx)
         self._pretrained = (
             # copy=True: the frozen reference must survive even if a donated
@@ -187,17 +249,29 @@ class Trainer:
     # -- state --------------------------------------------------------------
     def init_state(self) -> TrainState:
         params = self.model.params
-        if self.donate:
+        if self.flat_state:
+            # ravel first, THEN place/replicate the single vector.  The
+            # concat makes fresh buffers, so no donation-safety copy is
+            # needed (except the single-leaf edge where ravel may alias).
+            ravel, self._unravel = flat_param_fns(params)
+            params = ravel(jax.tree_util.tree_map(jnp.asarray, params))
+            if self.mesh.devices.size > 1:
+                params = replicate(self.mesh, params)
+            elif self.donate and len(jax.tree_util.tree_leaves(self.model.params)) == 1:
+                params = jnp.array(params, copy=True)
+        elif self.mesh.devices.size > 1:
+            # replicate() re-materializes fresh buffers, so no donation-safety
+            # copy is needed on this path.
+            params = replicate(self.mesh, params)
+        elif self.donate:
             # The donated step deletes the state buffers after the first
-            # call.  device_put/asarray below may return zero-copy ALIASES of
-            # the caller's model.params (same device, same sharding), so the
-            # donation would delete arrays the caller still owns - e.g. a
-            # second Trainer built on the same model.  Copy once at init.
+            # call.  jnp.asarray may return zero-copy ALIASES of the caller's
+            # model.params (same device, same sharding), so the donation
+            # would delete arrays the caller still owns - e.g. a second
+            # Trainer built on the same model.  Copy once at init.
             params = jax.tree_util.tree_map(
                 lambda x: jnp.array(x, copy=True), params
             )
-        if self.mesh.devices.size > 1:
-            params = replicate(self.mesh, params)
         else:
             # Single device: do NOT commit a NamedSharding.  Semantically a
             # no-op, but the tunneled-TPU relay executes sharding-committed
@@ -239,7 +313,10 @@ class Trainer:
                 x = jax.lax.with_sharding_constraint(x, bsh)
                 y = jax.lax.with_sharding_constraint(y, bsh)
 
-            def loss_of(params):
+            def loss_of(params_in):
+                params = (
+                    self._unravel(params_in) if self.flat_state else params_in
+                )
                 f = lambda img: self.model.apply_fn(
                     params, img, train=True, rng=k_drop
                 )
@@ -302,6 +379,18 @@ class Trainer:
             ckpt = CheckpointManager(os.path.join(self.out_dir, "checkpoints"))
             ckpt.save(0, self.epochs, self._state_dict(state, epoch=0))
 
+        val_writer = None
+        if self.eval_interval and self.eval_hook is not None and self.out_dir:
+            vf = open(
+                os.path.join(self.out_dir, "validation.csv"),
+                "w",
+                newline="",
+                buffering=1,
+            )
+            val_writer = csv.writer(vf)
+            val_writer.writerow(["Epoch", "PSNR", "SSIM"])
+        best_psnr = -float("inf")
+
         t_start = time.time()
         images_seen = 0
         for epoch in range(self.start_epoch, self.epochs):
@@ -328,23 +417,59 @@ class Trainer:
                 ckpt.save(
                     epoch + 1, self.epochs, self._state_dict(state, epoch=epoch)
                 )
+            if (
+                self.eval_interval
+                and self.eval_hook is not None
+                and ((epoch + 1) % self.eval_interval == 0 or epoch == self.epochs - 1)
+            ):
+                psnr, ssim = self.eval_hook(self._params_tree(state))
+                print(
+                    f"\tValidation [{epoch + 1}/{self.epochs}] "
+                    f"PSNR: {psnr:.2f} SSIM: {ssim:.4f}"
+                    + (" (best)" if psnr > best_psnr else "")
+                )
+                if val_writer:
+                    val_writer.writerow([epoch + 1, f"{psnr:.4f}", f"{ssim:.6f}"])
+                if psnr > best_psnr:
+                    best_psnr = psnr
+                    if ckpt:
+                        self._save_best(ckpt, state, epoch)
             if on_epoch_end is not None:
                 on_epoch_end(epoch, state, epoch_loss)
 
         if ckpt:
             ckpt.wait()
         dt = time.time() - t_start
-        self.model.params = jax.device_get(state.params)
+        self.model.params = jax.device_get(self._params_tree(state))
         return state, {
             "wall_time_s": dt,
             "images_per_sec": images_seen / dt if dt > 0 else 0.0,
             "steps": int(state.step),
         }
 
+    def _save_best(self, ckpt: CheckpointManager, state: TrainState, epoch: int):
+        """Overwrite checkpoints/ckp_best with the current (best-PSNR) state."""
+        import shutil
+
+        path = os.path.join(ckpt.directory, "ckp_best")
+        ckpt.wait()  # let any in-flight async save settle before replacing
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        ckpt._ckpt.save(path, self._state_dict(state, epoch=epoch), force=True)
+
+    def _params_tree(self, state: TrainState):
+        """state.params as the model tree (unravel when flat-state)."""
+        if self.flat_state:
+            return jax.jit(self._unravel)(state.params)
+        return state.params
+
     def _state_dict(self, state: TrainState, *, epoch: int):
+        # params are always checkpointed as the model TREE, so checkpoints
+        # stay format-stable across flat/tree trainers and torch interop is
+        # unaffected; the opt_state keeps its live (flat or tree) layout.
         return {
             "epoch": np.asarray(epoch),
-            "params": jax.device_get(state.params),
+            "params": jax.device_get(self._params_tree(state)),
             "opt_state": jax.device_get(state.opt_state),
         }
 

@@ -170,6 +170,34 @@ def test_r2r_loss_runs_and_is_finite():
     assert np.isfinite(v)
 
 
+def test_r2r_ei_fused_matches_unfused():
+    """r2r_ei_loss batches the R2R eval and the EI anchor into one 2B
+    forward; given the same key it must equal the three-call reference form
+    in value AND gradient (the model is per-image, so concat is a pure
+    dispatch refactor)."""
+    from sei_tpu.losses.r2r import r2r_ei_loss, r2r_ei_loss_unfused
+    from sei_tpu.transforms import get_ei_transform
+
+    phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    rng = np.random.default_rng(11)
+    y = jnp.asarray(rng.random((2, 3, 48, 48), dtype=np.float32))
+    t_apply = get_ei_transform("Scaling_Transforms", kind="padded")
+    key = jax.random.PRNGKey(3)
+    w0 = jnp.asarray(0.9)
+
+    def run(loss_fn, w):
+        return loss_fn(
+            key, y, lambda t: w * t, phys.A, t_apply, sigma=5 / 255.0
+        )
+
+    vg = jax.jit(jax.value_and_grad(lambda w: run(r2r_ei_loss, w)))
+    vg_ref = jax.jit(jax.value_and_grad(lambda w: run(r2r_ei_loss_unfused, w)))
+    v_f, g_f = vg(w0)
+    v_u, g_u = vg_ref(w0)
+    np.testing.assert_allclose(float(v_f), float(v_u), rtol=1e-6)
+    np.testing.assert_allclose(float(g_f), float(g_u), rtol=1e-6)
+
+
 def test_method_aliases_and_ei_baselines():
     phys = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
     rng = np.random.default_rng(5)

@@ -140,9 +140,11 @@ def test_sharded_step_matches_single_device(tiny_setup):
 
 
 def test_flat_optimizer_matches_tree(tiny_setup, monkeypatch):
-    """optax.flatten is a pure speed refactor (one raveled Adam vs ~300
-    per-leaf kernels, perf_probe_r3h.py): a step with SEI_FLAT_OPT=1
-    (default) and =0 must produce identical params."""
+    """The optimizer layouts are pure speed refactors and must produce
+    identical params after one step: flat-STATE (default: params live as one
+    raveled vector, grad w.r.t. the vector, pure vector Adam —
+    perf_probe_r4a: 0.035 ms/update), optax.flatten (re-ravels grads per
+    step, 2.1 ms), and the plain tree form (7.3 ms)."""
     physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
     cache = _make_cache(tiny_setup, physics)
     model = get_model(
@@ -151,25 +153,33 @@ def test_flat_optimizer_matches_tree(tiny_setup, monkeypatch):
     )
     loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
 
-    def one_step(flat):
-        monkeypatch.setenv("SEI_FLAT_OPT", "1" if flat else "0")
+    def one_step(flat_state, flat_opt):
+        monkeypatch.setenv("SEI_FLAT_STATE", "1" if flat_state else "0")
+        monkeypatch.setenv("SEI_FLAT_OPT", "1" if flat_opt else "0")
         trainer = Trainer(
             model=model, loss_fn=loss_fn, physics=physics, cache=cache,
             batch_size=4, epochs=1, lr=1e-3, crop_size=64, out_dir=None,
         )
         state = trainer.init_state()
+        assert trainer.flat_state == flat_state
+        if flat_state:
+            assert jnp.ndim(state.params) == 1  # one raveled vector
         new_state, loss = trainer._get_step(0)(state, cache, trainer.base_key)
-        return float(loss), jax.device_get(new_state.params)
+        return float(loss), jax.device_get(trainer._params_tree(new_state))
 
-    loss_f, params_f = one_step(True)
-    loss_t, params_t = one_step(False)
+    loss_fs, params_fs = one_step(True, False)
+    loss_f, params_f = one_step(False, True)
+    loss_t, params_t = one_step(False, False)
+    assert np.isclose(loss_fs, loss_f, rtol=1e-6), (loss_fs, loss_f)
     assert np.isclose(loss_f, loss_t, rtol=1e-6), (loss_f, loss_t)
-    for a, b in zip(
-        jax.tree_util.tree_leaves(params_f), jax.tree_util.tree_leaves(params_t)
-    ):
-        np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
-        )
+    for tree in (params_f, params_t):
+        la = jax.tree_util.tree_leaves(params_fs)
+        lb = jax.tree_util.tree_leaves(tree)
+        assert len(la) == len(lb)
+        for a, b in zip(la, lb):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+            )
 
 
 def test_epoch_permutation_sampling():
@@ -237,6 +247,45 @@ def test_checkpoint_roundtrip(tiny_setup, tmp_path):
     b = jax.tree_util.tree_leaves(t2.model.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), atol=1e-6)
+
+
+def test_eval_interval_selects_best_checkpoint(tiny_setup, tmp_path):
+    """--eval_interval: periodic in-training validation writes
+    validation.csv and keeps the best-PSNR state as checkpoints/ckp_best
+    (mechanized operating-point selection, VERDICT r3 item 7)."""
+    from sei_tpu.train.checkpoint import CheckpointManager, latest_checkpoint
+    from sei_tpu.train.validate import ValidationHook
+
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+    model = get_model(
+        kind="Proposed", architecture="Convolutional", task="deblurring",
+        conv_blueprint={"scales": 2, "hidden_channels": 8}, init_input_size=32,
+    )
+    gt = GroundTruthDataset(
+        dataset_name="single_image", size=64, memoize_gt=True,
+        single_image_blueprint={"image_path": tiny_setup, "duplicates_count": 1},
+    )
+    hook = ValidationHook(gt, physics, model.apply_fn, pad_bucket=32)
+    loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
+    out = str(tmp_path / "run_eval")
+    trainer = Trainer(
+        model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+        batch_size=4, epochs=4, lr=1e-3, crop_size=64,
+        out_dir=out, checkpoint_interval=2,
+        eval_interval=2, eval_hook=hook,
+    )
+    trainer.train(log_every_epoch=False)
+    rows = open(os.path.join(out, "validation.csv")).read().strip().splitlines()
+    assert rows[0] == "Epoch,PSNR,SSIM"
+    assert len(rows) >= 3  # epochs 2, 4
+    best = os.path.join(out, "checkpoints", "ckp_best")
+    assert os.path.isdir(best)
+    data = CheckpointManager(os.path.dirname(best)).restore(os.path.abspath(best))
+    assert "params" in data and "epoch" in data
+    # ckp_best must NOT be picked up as the resume point
+    latest = latest_checkpoint(os.path.join(out, "checkpoints"))
+    assert latest is not None and not latest.endswith("ckp_best")
 
 
 def test_css_batch_swaps_pair(tiny_setup):
