@@ -87,11 +87,16 @@ def main():
         ids=jnp.arange(n_img), rate=1,
     )
 
-    # BENCH_SCAN > 1 fuses that many steps per dispatch via the trainer's
-    # lax.scan path (demo/train.py --scan_steps): amortizes the ~3-5 ms
-    # per-dispatch latency of the tunnel, which a co-located TPU host
-    # would not pay.  Default 1 keeps the historical per-step methodology.
-    scan_steps = int(os.environ.get("BENCH_SCAN", "1"))
+    # BENCH_SCAN fuses that many steps per dispatch via the trainer's
+    # lax.scan path (demo/train.py --scan_steps).  Default 8 = the
+    # production dispatch mode: NUMERICALLY IDENTICAL to per-step dispatch
+    # (each inner step folds its RNG from state.step, so the step sequence
+    # is the same — asserted by tests/test_train.py::
+    # test_scan_steps_numerically_identical); it amortizes the per-dispatch
+    # host round-trip.  BENCH_SCAN=1 reproduces the per-step methodology
+    # used through round 3 (r4d probe, interleaved pairs: scan1
+    # 104.2-104.4 img/s, scan8 105.3-105.4 — a consistent +1.1%).
+    scan_steps = int(os.environ.get("BENCH_SCAN", "8"))
     trainer = Trainer(
         model=model, loss_fn=loss_fn, physics=physics, cache=cache,
         batch_size=batch, epochs=1, lr=1e-4, crop_size=256, out_dir=None,

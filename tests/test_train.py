@@ -333,6 +333,42 @@ def test_scan_steps_trains_identically_shaped(tiny_setup):
     assert len(losses) == 4 and losses[-1] < losses[0]
 
 
+def test_scan_steps_numerically_identical(tiny_setup):
+    """scan=K dispatches the SAME step sequence as K per-step calls.
+
+    Each inner step derives its RNG as fold_in(base_key, state.step), so the
+    stream is independent of dispatch granularity; final params must agree
+    to float tolerance.  This equivalence is what justifies benchmarking at
+    the scan-fused dispatch mode (bench.py BENCH_SCAN).
+    """
+    physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
+    cache = _make_cache(tiny_setup, physics)
+
+    def run(scan):
+        model = get_model(
+            kind="Proposed", architecture="Convolutional", task="deblurring",
+            conv_blueprint={"scales": 2, "hidden_channels": 8},
+            init_input_size=32,
+        )
+        loss_fn = get_loss(method="supervised", physics=physics, crop_size=32)
+        trainer = Trainer(
+            model=model, loss_fn=loss_fn, physics=physics, cache=cache,
+            batch_size=2, epochs=1, lr=1e-4, crop_size=64, scan_steps=scan,
+        )
+        state, _ = trainer.train(log_every_epoch=False)
+        return jax.device_get(trainer._params_tree(state))
+
+    p_step, p_scan = run(1), run(4)
+    jax.tree_util.tree_map(
+        # atol 1e-6: XLA fuses the scan body slightly differently than the
+        # standalone step, so f32-epsilon drift (~2e-7/step) is expected;
+        # Adam amplifies it chaotically over long horizons, hence the short
+        # 4-step horizon here — the claim is per-step graph equivalence
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6),
+        p_step, p_scan,
+    )
+
+
 def test_sample_batch_pads_small_images_to_crop(tiny_setup):
     # reference MinSizePadding: crop larger than the image zero-pads
     physics = get_physics(task="deblurring", kernel="Gaussian_R1", noise_level=5)
