@@ -38,7 +38,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--crop", type=int, default=64)
     ap.add_argument("--lr", type=float, default=2e-4)
-    ap.add_argument("--model_channels", type=int, default=48)
+    # must be a multiple of 32: guided-diffusion's normalization is
+    # GroupNorm(32, C) at every block (sei_tpu/models/diffunet.py), so any
+    # channel count the architecture ever produces has to divide by 32
+    ap.add_argument("--model_channels", type=int, default=64)
     ap.add_argument("--channel_mult", type=int, nargs="+", default=[1, 2, 2, 4])
     ap.add_argument("--attention_ds", type=int, nargs="+", default=[8])
     args = ap.parse_args()

@@ -115,6 +115,19 @@ class DiffUNetConfig:
     use_scale_shift_norm: bool = True
     conv_resample: bool = True
 
+    def __post_init__(self):
+        # guided-diffusion normalizes with GroupNorm(32, C) everywhere, so
+        # every channel count the mult schedule produces must divide by 32
+        # (flax would raise later, deep inside the first forward)
+        bad = [m * self.model_channels
+               for m in self.channel_mult
+               if (m * self.model_channels) % 32]
+        if bad:
+            raise ValueError(
+                f"model_channels x channel_mult must be multiples of 32 "
+                f"(GroupNorm(32) architecture); offending widths: {bad}"
+            )
+
 
 class DiffUNet(nn.Module):
     """Guided-diffusion UNetModel; public API is NCHW like the torch one."""
