@@ -61,8 +61,10 @@ def make_diffunet_denoiser(weights_path: str):
     net = DiffUNet(cfg=cfg)
     apply_fn = lambda p, x, t: net.apply({"params": p}, x, t)
 
+    mult = 2 ** (len(cfg.channel_mult) - 1)
+
     def denoise(x, sigma):
-        return diffunet_denoise(apply_fn, params, x, sigma)
+        return diffunet_denoise(apply_fn, params, x, sigma, multiple=mult)
 
     return denoise
 

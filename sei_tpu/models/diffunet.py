@@ -218,13 +218,24 @@ def ddpm_alphas_cumprod(T: int = 1000) -> np.ndarray:
     return np.cumprod(1.0 - betas)
 
 
-def diffunet_denoise(apply_fn, params, x, sigma, *, T: int = 1000):
+def diffunet_denoise(apply_fn, params, x, sigma, *, T: int = 1000,
+                     multiple: int = 8):
     """deepinv DiffUNet.forward(x, sigma) parity: denoise [0,1] images.
 
     Maps to the diffusion's [-1,1] range (noise std doubles), picks the
     nearest timestep by sqrt(1-abar)/sqrt(abar), scales the input onto the
     x_t manifold, predicts epsilon, and returns the x0 estimate in [0,1].
+
+    The UNet's skip connections require H and W divisible by
+    2^(len(channel_mult)-1); arbitrary eval sizes are edge-padded to the
+    next ``multiple`` and the estimate cropped back (the DRUNet wrapper's
+    convention, drunet.py:48-53).
     """
+    h, w = x.shape[-2:]
+    ph = (multiple - h % multiple) % multiple
+    pw = (multiple - w % multiple) % multiple
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, ph), (0, pw)), mode="edge")
     abar = jnp.asarray(ddpm_alphas_cumprod(T), jnp.float32)
     reduced = jnp.sqrt(1.0 - abar) / jnp.sqrt(abar)
     t = jnp.argmin(jnp.abs(reduced - 2.0 * sigma))
@@ -232,7 +243,7 @@ def diffunet_denoise(apply_fn, params, x, sigma, *, T: int = 1000):
     xt = jnp.sqrt(abar[t]) * x2
     eps = apply_fn(params, xt, jnp.full((x.shape[0],), t))[:, :3]
     x0 = (xt - jnp.sqrt(1.0 - abar[t]) * eps) / jnp.sqrt(abar[t])
-    return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)
+    return jnp.clip((x0 + 1.0) / 2.0, 0.0, 1.0)[..., :h, :w]
 
 
 # ---------------------------------------------------------------------------

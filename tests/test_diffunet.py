@@ -199,6 +199,25 @@ def test_forward_and_denoise_finite():
     assert bool(jnp.isfinite(den).all())
 
 
+def test_denoise_pads_non_multiple_sizes():
+    """Eval images are arbitrary sizes (e.g. 256x341); the skip-concat UNet
+    needs 2^(levels-1)-divisible dims, so the denoise wrapper edge-pads and
+    crops back (regression: eval_diffpir_diffunet crashed on 341)."""
+    inv = guided_diffusion_inventory(TINY)
+    rng = np.random.default_rng(2)
+    sd = {k: rng.standard_normal(s).astype(np.float32) * 0.02 for k, s in inv.items()}
+    params = torch_diffunet_to_flax(sd)
+    module = DiffUNet(cfg=TINY)
+
+    x = jnp.asarray(rng.random((1, 3, 15, 21)), jnp.float32)
+    den = diffunet_denoise(
+        lambda p, xx, t: module.apply({"params": p}, xx, t), params, x, 0.1,
+        multiple=2 ** (len(TINY.channel_mult) - 1),
+    )
+    assert den.shape == (1, 3, 15, 21)
+    assert bool(jnp.isfinite(den).all())
+
+
 @pytest.mark.parametrize("cfg", [TINY, FFHQ], ids=["tiny", "ffhq_10m"])
 def test_flax_to_torch_roundtrip(cfg):
     """flax_diffunet_to_torch emits the EXACT guided-diffusion key/shape
