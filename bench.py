@@ -31,21 +31,23 @@ jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"))
 
 
-def _baseline_images_per_sec() -> float:
+def _baseline_constant(name: str) -> float:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
     with open(path) as f:
-        m = re.search(r"^A100_REFERENCE_IMAGES_PER_SEC:\s*([0-9.]+)", f.read(), re.M)
+        m = re.search(rf"^{name}:\s*([0-9.]+)", f.read(), re.M)
     if m is None:
         raise RuntimeError(
-            "BASELINE.md is missing the 'A100_REFERENCE_IMAGES_PER_SEC: <n>' "
-            "line (see its 'Throughput baseline derivation' section); bench.py "
-            "parses the baseline from there so the number and its derivation "
-            "cannot drift apart."
+            f"BASELINE.md is missing the '{name}: <n>' line (see its "
+            "'Throughput baseline derivation' section); bench.py parses its "
+            "constants from there so each number and its derivation cannot "
+            "drift apart."
         )
     return float(m.group(1))
 
 
-A100_REFERENCE_IMAGES_PER_SEC = _baseline_images_per_sec()
+A100_REFERENCE_IMAGES_PER_SEC = _baseline_constant("A100_REFERENCE_IMAGES_PER_SEC")
+# per-image FLOP model, pinned next to its derivation in BASELINE.md
+GFLOP_PER_IMAGE = _baseline_constant("GFLOP_PER_IMAGE")
 
 
 def main():
@@ -118,11 +120,11 @@ def main():
 
     images_per_sec = batch * iters * trainer.scan_steps / dt
     # Hardware-grounded view of the same number (VERDICT r3 "What's weak" #3):
-    # the step's analytic FLOP count is pinned in BASELINE.md ("Throughput
-    # baseline derivation": 506 GFLOP per image = 4.05 TFLOP/step at b8),
-    # so achieved FLOP/s and %-of-peak stand independent of the derived A100
-    # constant.  v5e bf16 peak = 197 TFLOP/s/chip.
-    GFLOP_PER_IMAGE = 506.0
+    # the step's analytic FLOP count (GFLOP_PER_IMAGE, parsed above) is pinned
+    # next to its derivation in BASELINE.md ("Throughput baseline derivation":
+    # 506 GFLOP per image = 4.05 TFLOP/step at b8), so achieved FLOP/s and
+    # %-of-peak stand independent of the derived A100 constant.
+    # v5e bf16 peak = 197 TFLOP/s/chip.
     V5E_PEAK_BF16_TFLOPS = 197.0
     achieved_tflops = images_per_sec * GFLOP_PER_IMAGE / 1e3
     print(

@@ -40,6 +40,7 @@ def main():
             sr_factor=args.sr_factor,
             physics_v2=args.physics_v2,
             physics_true_adjoint=args.physics_true_adjoint,
+            antialias=args.physics_antialias,
         )
 
     if args.lpips_weights:

@@ -23,6 +23,12 @@ class DefaultArgParser(argparse.ArgumentParser):
         self.add_argument("--kernel", type=str, default=None)
         self.add_argument("--physics_true_adjoint", action=BooleanOptionalAction,
                           default=False)
+        self.add_argument("--physics_antialias", action=BooleanOptionalAction,
+                          default=True,
+                          help="antialias the SR downsampling resize (the "
+                          "reference's SR physics is always antialiased; "
+                          "--no-physics_antialias exposes the raw-bicubic "
+                          "variant)")
         self.add_argument("--sr_factor", type=int, default=None)
         self.add_argument("--noise_level", type=int, default=5)
         self.add_argument("--dataset", type=str, default="div2k")

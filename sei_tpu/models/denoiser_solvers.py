@@ -237,8 +237,13 @@ def build_denoiser_baseline(kind, *, weights_path, physics, noise_level, task,
     from . import FunctionalModel
 
     if kind == "DiffPIR_DiffUNet":
-        # guided-diffusion UNet denoiser (ref src/models/diffpir.py:20-25);
-        # reflect-pad handled by the caller as in the reference
+        # guided-diffusion UNet denoiser (ref src/models/diffpir.py:20-25).
+        # Size handling deviates deliberately from the reference (which
+        # reflect-pads y once around the whole DiffPIR solve): here the
+        # denoiser itself edge-pads each input to the UNet's downsample
+        # multiple 2^(L-1) and crops the estimate back (DRUNet-style,
+        # diffunet.py:diffunet_denoise) — so the data-consistency steps run
+        # at the true measurement size.
         denoiser = make_diffunet_denoiser(weights_path)
     else:
         denoiser = make_drunet_denoiser(weights_path)

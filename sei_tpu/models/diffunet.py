@@ -218,8 +218,8 @@ def ddpm_alphas_cumprod(T: int = 1000) -> np.ndarray:
     return np.cumprod(1.0 - betas)
 
 
-def diffunet_denoise(apply_fn, params, x, sigma, *, T: int = 1000,
-                     multiple: int = 8):
+def diffunet_denoise(apply_fn, params, x, sigma, *, multiple: int,
+                     T: int = 1000):
     """deepinv DiffUNet.forward(x, sigma) parity: denoise [0,1] images.
 
     Maps to the diffusion's [-1,1] range (noise std doubles), picks the
@@ -229,7 +229,10 @@ def diffunet_denoise(apply_fn, params, x, sigma, *, T: int = 1000,
     The UNet's skip connections require H and W divisible by
     2^(len(channel_mult)-1); arbitrary eval sizes are edge-padded to the
     next ``multiple`` and the estimate cropped back (the DRUNet wrapper's
-    convention, drunet.py:48-53).
+    convention, drunet.py:48-53).  ``multiple`` is required — pass
+    2^(len(cfg.channel_mult)-1); a fixed default would silently reintroduce
+    the skip-concat crash on deeper configs (e.g. the 6-level FFHQ UNet
+    needs 32).
     """
     h, w = x.shape[-2:]
     ph = (multiple - h % multiple) % multiple

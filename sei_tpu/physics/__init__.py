@@ -144,6 +144,7 @@ def get_physics(
     sr_factor: int | None = None,
     physics_v2: bool = True,
     physics_true_adjoint: bool = False,
+    antialias: bool = True,
     dtype=jnp.float32,
 ) -> Physics:
     """Factory mirroring ref get_physics (src/physics/__init__.py:80-102)."""
@@ -169,6 +170,7 @@ def get_physics(
         rate=sr_factor,
         v2=physics_v2,
         true_adjoint=physics_true_adjoint,
+        antialias=antialias,
     )
 
 

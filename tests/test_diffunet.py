@@ -193,7 +193,8 @@ def test_forward_and_denoise_finite():
     assert bool(jnp.isfinite(out).all())
 
     den = diffunet_denoise(
-        lambda p, xx, t: module.apply({"params": p}, xx, t), params, x, 0.1
+        lambda p, xx, t: module.apply({"params": p}, xx, t), params, x, 0.1,
+        multiple=2 ** (len(TINY.channel_mult) - 1),
     )
     assert den.shape == (2, 3, 16, 16)
     assert bool(jnp.isfinite(den).all())

@@ -166,3 +166,45 @@ def test_bench_leg_and_sweep():
                  ("k2", {"SEI_TEST_KNOB": "2"}, make_fn)], x)
     assert set(res) == {"k1", "k2"}
     assert os.environ.get("SEI_TEST_KNOB") is None
+
+
+def test_bench_constants_parse_from_baseline_md():
+    """bench.py pins BOTH derived constants (A100 img/s and the per-image
+    FLOP model) to BASELINE.md so numbers and derivations cannot drift
+    apart (VERDICT r4 weak-item 5)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "sei_bench", os.path.join(root, "bench.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.A100_REFERENCE_IMAGES_PER_SEC == 35.0
+    assert mod.GFLOP_PER_IMAGE == 506.0
+    # the prose derivation must still state the same figure
+    with open(os.path.join(root, "BASELINE.md")) as f:
+        assert "506 GFLOP per image" in f.read()
+
+
+def test_get_physics_exposes_antialias():
+    """Physics.antialias is settable through the factory (VERDICT r4
+    weak-item 6): antialias=False reproduces the raw-bicubic downsample."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sei_tpu.ops import resize
+    from sei_tpu.physics import get_physics
+
+    p_aa = get_physics(task="sr", sr_factor=2, noise_level=5)
+    p_raw = get_physics(task="sr", sr_factor=2, noise_level=5,
+                        antialias=False)
+    assert p_aa.antialias and not p_raw.antialias
+
+    x = jnp.asarray(np.random.default_rng(0).random((1, 3, 16, 16)),
+                    jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(p_raw.A(x)),
+        np.asarray(resize(x, scale_factor=0.5, antialias=False)),
+        rtol=1e-6)
+    assert float(jnp.abs(p_aa.A(x) - p_raw.A(x)).max()) > 1e-4
