@@ -22,7 +22,10 @@ from sei_tpu.ops.swin_trunk import (
     trunk_reference,
 )
 
-D, B, H, W, C, NH, WS = 4, 2, 8, 8, 16, 2, 4
+# D=2 is the smallest depth that exercises both shift kinds AND the
+# cross-block carry; interpret-mode walltime scales linearly in D, and the
+# deeper-stack behavior is covered by the flax golden tests (test_swinir_*)
+D, B, H, W, C, NH, WS = 2, 2, 8, 8, 16, 2, 4
 CH = 2 * C
 N = WS * WS
 
