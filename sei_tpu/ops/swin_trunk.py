@@ -42,16 +42,21 @@ grads (B//G, D, ...) that XLA sum-reduces.
 Attention layout (the round-3 restructure): Mosaic cannot reshape-split the
 LANE dim (C -> nh x hd), and per-head batched matmuls (M=N=64) use <20% of
 the 128x128 MXU.  Attention therefore runs TRANSPOSE-FREE via head masks
-with the head axis FOLDED INTO THE ROW DIM: with qm = (q .* m_h) stacked as
-(csz, nh*N, C), scores = qm @ k^T is ONE batched matmul with M = nh*N = 384
-rows (the 0/1 mask m_h zeroes the other heads' channels, so the full-C
-contraction equals the per-head one), and att = p @ v lands all heads'
-context in (csz, nh*N, C), merged by a masked sum over h.  ~6x the
-attention-matmul FLOPs of exact per-head attention (still <40% of the
-block's), but zero relayouts, no k/v broadcast materialization, and every
-GEMM keeps C on the lanes with M >= 384.  The backward contracts the nh*N
-row dim directly for dv/dk (K=384 matmuls) - the head masks ride inside
-p/qm, so those grads need no per-head handling at all.
+with the head axis FOLDED INTO THE ROW DIM, packed PER LANE TILE (see the
+"head/tile packing" section): a trace-time 0/1 permutation packs as many
+heads as fit into each 128-lane tile (flagship C=180/nh=6/hd=30 -> tiles
+of 4+2 heads), and per tile qm = (q .* m_h) stacks as (csz, ht*N, 128) so
+scores = qm @ k_t^T is one batched matmul with M = ht*N rows (the 0/1 mask
+m_h zeroes the other heads' channels, so the 128-lane contraction equals
+the per-head one); att = p @ v_t lands the tile's context in
+(csz, ht*N, 128), merged by a masked sum over h.  Nominal inflation vs an
+hd-lane contraction is 128/hd (~4.3x for the flagship) — but the MXU pads
+any K<=128 contraction to one full 128-lane pass, so the per-head-"exact"
+variant issues the SAME row-streams with smaller M per matmul; measured on
+chip the packed layout wins (SEI_TRUNK_HPT probe, r5:
+default/hpt2/hpt1 legs in experiments/evidence/perf_probe_r5a.log).  The
+backward contracts the ht*N row dim directly for dv/dk - the head masks
+ride inside p/qm, so those grads need no per-head handling at all.
 """
 
 from __future__ import annotations
@@ -281,14 +286,24 @@ _TL = 128  # lane-tile width
 
 
 def _head_tiling(nh: int, hd: int) -> list:
-    """Greedy head->tile assignment: [(first_head, n_heads), ...]."""
+    """Greedy head->tile assignment: [(first_head, n_heads), ...].
+
+    SEI_TRUNK_HPT caps heads per tile (probe knob, trace-time): 1 = the
+    "exact per-head" attention variant (each head's hd channels alone in a
+    128-lane tile, K still padded to 128 by the MXU), 2/3 = intermediate
+    packings.  Default 0 = pack as many heads per tile as fit (the
+    production layout; fewest tiles = fewest row-streams and smallest
+    qkv/proj projection matmuls).
+    """
+    hpt = _env_int("SEI_TRUNK_HPT", 0) or nh
     tiles = []
-    start, used = 0, 0
+    start, used, cnt = 0, 0, 0
     for h in range(nh):
-        if used + hd > _TL:
+        if used + hd > _TL or cnt == hpt:
             tiles.append((start, h - start))
-            start, used = h, 0
+            start, used, cnt = h, 0, 0
         used += hd
+        cnt += 1
     tiles.append((start, nh - start))
     return tiles
 

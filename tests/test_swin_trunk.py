@@ -199,6 +199,38 @@ def test_kernel_multi_image_groups(setup, monkeypatch):
                                    rtol=2e-5, atol=2e-5)
 
 
+def test_kernel_heads_per_tile_variants(setup, monkeypatch):
+    """SEI_TRUNK_HPT (the attention-packing probe knob) is numerically
+    inert: capping heads-per-tile at 1 (exact per-head tiles) or 2 must
+    reproduce the default greedy packing, forward AND grads."""
+    from sei_tpu.ops.swin_trunk import _head_tiling
+
+    x, params, rpb, mask, dpm, _ = setup
+    x, dpm = x[:1], dpm[:, :, :1]
+    want = trunk_reference(x, params, rpb, mask, dpm,
+                           num_heads=NH, window_size=WS)
+    tgt = jax.random.normal(jax.random.PRNGKey(3), x.shape, jnp.float32)
+
+    def loss(xx, pp):
+        y = swin_trunk(xx, pp, rpb, mask, dpm, num_heads=NH,
+                       window_size=WS, use_pallas=True, interpret=True)
+        return jnp.mean((y - tgt) ** 2)
+
+    monkeypatch.setenv("SEI_TRUNK_HPT", "1")
+    assert len(_head_tiling(NH, C // NH)) == NH  # really one head per tile
+    got = swin_trunk(x, params, rpb, mask, dpm, num_heads=NH,
+                     window_size=WS, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    g1 = jax.grad(loss, argnums=(0, 1))(x, params)
+    monkeypatch.delenv("SEI_TRUNK_HPT")
+    g0 = jax.grad(loss, argnums=(0, 1))(x, params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g0)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_per_branch_drop_path_masks(setup):
     """dpm axis 1 = (attn, mlp) masks act on DIFFERENT residual branches:
     zeroing one branch must differ from zeroing the other (the reference's
