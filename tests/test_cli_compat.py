@@ -94,10 +94,14 @@ def test_reference_namespaced_flags_exist():
             "--SyntheticDataset__deterministic_measurements",
             "--physics_true_adjoint",
             "--no-physics_v2",
+            "--no-physics_antialias",
         ]
     )
     assert args.GroundTruthDataset__size == 128
     assert args.physics_v2 is False
+    assert args.physics_antialias is False
+    assert _train_parser().parse_args(
+        ["--task", "sr", "--sr_factor", "2"]).physics_antialias is True
 
 
 def test_no_resize_mutex():
