@@ -52,9 +52,15 @@ the per-head one); att = p @ v_t lands the tile's context in
 (csz, ht*N, 128), merged by a masked sum over h.  Nominal inflation vs an
 hd-lane contraction is 128/hd (~4.3x for the flagship) — but the MXU pads
 any K<=128 contraction to one full 128-lane pass, so the per-head-"exact"
-variant issues the SAME row-streams with smaller M per matmul; measured on
-chip the packed layout wins (SEI_TRUNK_HPT probe, r5:
-default/hpt2/hpt1 legs in experiments/evidence/perf_probe_r5a.log).  The
+variant issues the SAME row-streams with smaller M per matmul and a WIDER
+packed layout (c2 = n_tiles*128 grows the qkv/proj projections).  Measured
+on chip (SEI_TRUNK_HPT probe, r5, perf_probe_r5a.log, 2 reps): greedy
+packing 105.36 img/s; 2-heads-per-tile (c2=384) 87.71 (-17%); exact
+per-head (c2=768) does not even compile — the backward kernel exceeds the
+VMEM scoped-allocation limit by 1.57 MB (117.96M vs 116.39M).  The nominal
+"FLOP inflation" is therefore pure accounting, not recoverable time: the
+greedy packed layout is the measured optimum and the MXU-granularity
+ceiling statement is complete.  The
 backward contracts the ht*N row dim directly for dv/dk - the head masks
 ride inside p/qm, so those grads need no per-head handling at all.
 """
